@@ -1,0 +1,209 @@
+"""Host-side graph import/preprocessing: COO → degree-sorted CSR → padded tile layout.
+
+This is the TPU-native re-design of the reference's VectorCSR import pipeline
+(`vgl_datastructures/graphs/undirected_containers/vect_csr/import.hpp:257-337`):
+
+  1. count degrees, sort vertices by descending degree, renumber
+     (reference import.hpp:61-99) — unchanged in spirit;
+  2. rebuild CSR in sorted order (import.hpp:103-153);
+  3. split the vertex space into degree classes. The reference makes a 3-way
+     ve/vc/collective split driven by SX-Aurora vector length (`nec_api.hpp:5-43`);
+     on TPU we instead build:
+       - a "huge" class (deg > cfg.huge_degree_threshold): rows split into
+         fixed-width chunks forming a rectangular (n_chunks, chunk_w) matrix — the
+         analog of the reference's vector_engine class where all threads cooperate
+         on one vertex (`advance_all_active.hpp:40-87`);
+       - power-of-two-width ELL buckets for everything else — the analog of the
+         VectorExtension's padded column-major VL segments
+         (`vector_extension/vector_extension.h:5-59`), except row-major (TPU gathers
+         feed lanes from contiguous rows) and width-bucketed so every bucket is a
+         dense rectangle with ≤2x padding.
+
+Everything here is NumPy on host; `device.py` ships the result to HBM as a pytree.
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import List, Optional
+
+import numpy as np
+
+from ..config import VGLConfig, DEFAULT_CONFIG
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+def _next_pow2(x: int) -> int:
+    return 1 if x <= 1 else 1 << int(np.ceil(np.log2(x)))
+
+
+@dataclass
+class HostBucket:
+    """A contiguous degree-sorted vertex range whose rows are padded to width."""
+
+    width: int
+    row_start: int          # first sorted vertex id in this bucket
+    rows: int               # actual number of rows
+    rows_pad: int           # rows padded (multiple of 8)
+    adj: np.ndarray         # int32 [rows_pad, width]; sentinel = vertices_pad
+    eidx: np.ndarray        # int32 [rows_pad, width]; CSR edge slot, sentinel = e_pad
+
+
+@dataclass
+class HostHuge:
+    """Row-split high-degree class: chunks of fixed width, sorted chunk→row ids."""
+
+    chunk_w: int
+    n_rows: int             # number of huge vertices (sorted ids [0, n_rows))
+    n_chunks: int
+    n_chunks_pad: int
+    adj: np.ndarray         # int32 [n_chunks_pad, chunk_w]
+    eidx: np.ndarray        # int32 [n_chunks_pad, chunk_w]
+    seg_ids: np.ndarray     # int32 [n_chunks_pad]: owning sorted vertex id (sorted asc)
+
+
+@dataclass
+class HostDirectedCSR:
+    """One direction (outgoing or incoming) of the graph, degree-sorted."""
+
+    vertices_count: int
+    vertices_pad: int
+    edges_count: int
+    edges_pad: int
+    row_ptr: np.ndarray        # int64 [vertices_pad+1]
+    col_idx: np.ndarray        # int32 [edges_pad] (sorted-space ids; sentinel pad)
+    degrees: np.ndarray        # int32 [vertices_pad]
+    edge_perm: np.ndarray      # int64 [edges_pad]: original COO edge id per CSR slot
+    sorted_to_orig: np.ndarray  # int32 [vertices_pad]: sorted id -> original id
+    orig_to_sorted: np.ndarray  # int32 [vertices_pad]: original id -> sorted id
+    huge: Optional[HostHuge]
+    buckets: List[HostBucket] = field(default_factory=list)
+
+
+def build_directed_csr(src: np.ndarray, dst: np.ndarray, vertices_count: int,
+                       cfg: VGLConfig = DEFAULT_CONFIG) -> HostDirectedCSR:
+    """Build a degree-sorted CSR + tile layout for edges (src -> dst).
+
+    Both endpoints are expressed in the *sorted* id space of this direction, exactly
+    as the reference renumbers the whole graph per direction (import.hpp:61-99).
+    """
+    v = vertices_count
+    e = int(src.shape[0])
+    v_pad = max(_round_up(v, 1024), 1024)
+
+    degrees = np.bincount(src, minlength=v).astype(np.int64)
+    # stable sort by descending degree → renumber maps
+    order = np.argsort(-degrees, kind="stable")            # sorted id -> orig id
+    orig_to_sorted = np.empty(v, dtype=np.int64)
+    orig_to_sorted[order] = np.arange(v, dtype=np.int64)
+
+    s2 = orig_to_sorted[src]
+    d2 = orig_to_sorted[dst]
+
+    # CSR in sorted order; edge_perm remembers each CSR slot's original COO index so
+    # EdgeArray values can be laid out per direction (reference edges_reorder_indexes,
+    # import.hpp:157-165).
+    csr_order = np.argsort(s2, kind="stable")
+    s2 = s2[csr_order]
+    d2 = d2[csr_order]
+    deg_sorted = degrees[order]
+    row_ptr = np.zeros(v_pad + 1, dtype=np.int64)
+    np.cumsum(deg_sorted, out=row_ptr[1:v + 1])
+    row_ptr[v + 1:] = row_ptr[v]
+
+    e_pad = max(_round_up(e, 8), 8)
+    col_idx = np.full(e_pad, v_pad, dtype=np.int32)
+    col_idx[:e] = d2
+    edge_perm = np.full(e_pad, e_pad, dtype=np.int64)
+    edge_perm[:e] = csr_order
+
+    deg_pad = np.zeros(v_pad, dtype=np.int32)
+    deg_pad[:v] = deg_sorted
+
+    s2o = np.full(v_pad, v, dtype=np.int32)
+    s2o[:v] = order
+    o2s = np.full(v_pad, v, dtype=np.int32)
+    o2s[:v] = orig_to_sorted
+
+    out = HostDirectedCSR(
+        vertices_count=v, vertices_pad=v_pad, edges_count=e, edges_pad=e_pad,
+        row_ptr=row_ptr, col_idx=col_idx, degrees=deg_pad, edge_perm=edge_perm,
+        sorted_to_orig=s2o, orig_to_sorted=o2s, huge=None,
+    )
+    _build_tiles(out, cfg)
+    return out
+
+
+def _slice_rows_to_tile(csr: HostDirectedCSR, row_start: int, rows: int,
+                        rows_pad: int, width: int):
+    """Extract padded (rows_pad, width) adjacency + edge-slot tiles for a contiguous
+    degree-sorted row range whose degrees are all ≤ width."""
+    adj = np.full((rows_pad, width), csr.vertices_pad, dtype=np.int32)
+    eidx = np.full((rows_pad, width), csr.edges_pad, dtype=np.int64)
+    rp = csr.row_ptr
+    degs = csr.degrees[row_start:row_start + rows].astype(np.int64)
+    # vectorized ragged copy: flat positions of all (row, k<deg) slots
+    row_local = np.repeat(np.arange(rows, dtype=np.int64), degs)
+    k = np.arange(degs.sum(), dtype=np.int64) - np.repeat(
+        np.concatenate(([0], np.cumsum(degs)[:-1])), degs)
+    src_pos = rp[row_start] + np.arange(degs.sum(), dtype=np.int64)
+    adj[row_local, k] = csr.col_idx[src_pos]
+    eidx[row_local, k] = src_pos
+    return adj, eidx.astype(np.int64)
+
+
+def _build_tiles(csr: HostDirectedCSR, cfg: VGLConfig) -> None:
+    v = csr.vertices_count
+    degs = csr.degrees[:v].astype(np.int64)
+    nonzero = int(np.count_nonzero(degs))          # rows with deg>=1 come first
+
+    # huge class: first n_huge rows with deg > threshold → row-split chunks
+    n_huge = int(np.searchsorted(-degs, -cfg.huge_degree_threshold, side="left"))
+    if n_huge > 0:
+        cw = cfg.huge_row_chunk
+        hdeg = degs[:n_huge]
+        chunks_per_row = ((hdeg + cw - 1) // cw).astype(np.int64)
+        n_chunks = int(chunks_per_row.sum())
+        n_chunks_pad = _round_up(max(n_chunks, 8), 8)
+        adj = np.full((n_chunks_pad, cw), csr.vertices_pad, dtype=np.int32)
+        eidx = np.full((n_chunks_pad, cw), csr.edges_pad, dtype=np.int64)
+        seg = np.full(n_chunks_pad, max(n_huge, 1), dtype=np.int32)
+        seg[:n_chunks] = np.repeat(np.arange(n_huge, dtype=np.int32), chunks_per_row)
+        # vectorized fill: chunk-local offsets
+        chunk_row = seg[:n_chunks].astype(np.int64)
+        chunk_first = np.concatenate(([0], np.cumsum(chunks_per_row)[:-1]))
+        chunk_in_row = np.arange(n_chunks, dtype=np.int64) - chunk_first[chunk_row]
+        starts = csr.row_ptr[chunk_row] + chunk_in_row * cw
+        lens = np.minimum(cw, csr.row_ptr[chunk_row + 1] - starts)
+        flat_chunk = np.repeat(np.arange(n_chunks, dtype=np.int64), lens)
+        flat_k = np.arange(lens.sum(), dtype=np.int64) - np.repeat(
+            np.concatenate(([0], np.cumsum(lens)[:-1])), lens)
+        flat_pos = np.repeat(starts, lens) + flat_k
+        adj[flat_chunk, flat_k] = csr.col_idx[flat_pos]
+        eidx[flat_chunk, flat_k] = flat_pos
+        csr.huge = HostHuge(chunk_w=cw, n_rows=n_huge, n_chunks=n_chunks,
+                            n_chunks_pad=n_chunks_pad, adj=adj, eidx=eidx,
+                            seg_ids=seg)
+
+    # power-of-two ELL buckets over the remaining rows with deg in [1, threshold]
+    buckets: List[HostBucket] = []
+    row = n_huge
+    width = _next_pow2(int(degs[row])) if row < nonzero else 0
+    while row < nonzero:
+        lo = max(width // 2 + 1, 1) if width > 1 else 1
+        # rows with degree in [lo, width] are contiguous (degree-sorted desc)
+        end = int(np.searchsorted(-degs, -(lo - 1), side="left")) if lo > 1 else nonzero
+        end = min(max(end, row), nonzero)
+        rows = end - row
+        if rows > 0:
+            rows_pad = _round_up(rows, 8)
+            adj, eidx = _slice_rows_to_tile(csr, row, rows, rows_pad, width)
+            buckets.append(HostBucket(width=width, row_start=row, rows=rows,
+                                      rows_pad=rows_pad, adj=adj, eidx=eidx))
+        row = end
+        width = width // 2
+        if width == 0 and row < nonzero:   # safety: should not happen
+            width = 1
+    csr.buckets = buckets

@@ -1,0 +1,162 @@
+"""Advance: edge traversal — the framework's hot path.
+
+TPU-native re-design of the reference's scatter/gather advance
+(`vgl_compute_api/common/advance.hpp:6-232` dispatching into the 9-kernel NEC worker
+`nec/advance_worker.hpp:219-361`). The kernel-per-degree-class structure survives —
+huge rows (vector-engine analog), ELL buckets (vector-core / collective analog) — but
+each kernel is a dense gather + masked reduction that XLA fuses into one pass over the
+tile, and push with a conflicting combine becomes either (a) a pull over the
+transposed container or (b) a compacted-frontier ragged-expand + functional
+scatter-combine (`.at[].min/add`), replacing `vovertake/novob` vector stores and
+`enable_safe_stores` (`nec/graph_abstractions_nec.h:332-333`).
+
+Edge-op programming model: instead of per-edge C++ lambdas with fixed macro signatures
+(`architecture_independent_api.h:3-31`), the user provides
+``edge_op(src_vals, dst_vals, weight) -> message`` operating on whole tiles (pytrees
+of [rows, width] arrays), plus a combine monoid. Everything is shape-static and
+jit-compatible.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Callable, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+
+from ..config import TraversalDirection
+from ..graph.device import DeviceDirectedGraph, VGLGraph
+from ..graph.edges import DirectedEdgeValues
+from . import monoid as M
+
+# edge_op(src_vals: Dict[str, Array[rows, W]], dst_vals: Dict[str, Array[rows, 1]],
+#         w: Optional[Array[rows, W]]) -> Array[rows, W]
+EdgeOp = Callable
+
+
+def _gather_src(arrs: Dict[str, jax.Array], adj: jax.Array) -> Dict[str, jax.Array]:
+    return {k: jnp.take(a, adj, axis=0, mode="clip") for k, a in arrs.items()}
+
+
+def _dst_slice(arrs: Dict[str, jax.Array], start: int, rows_pad: int
+               ) -> Dict[str, jax.Array]:
+    return {k: jax.lax.dynamic_slice_in_dim(a, start, rows_pad, axis=0)[:, None]
+            for k, a in arrs.items()}
+
+
+def advance_pull(graph: VGLGraph,
+                 src_arrays: Dict[str, jax.Array],
+                 edge_op: EdgeOp,
+                 combine,
+                 dst_arrays: Optional[Dict[str, jax.Array]] = None,
+                 edge_values: Optional[DirectedEdgeValues] = None,
+                 src_active: Optional[jax.Array] = None,
+                 direction: TraversalDirection = TraversalDirection.GATHER,
+                 out_dtype=None) -> jax.Array:
+    """Aggregate messages over incoming edges of every vertex (gather-mode advance,
+    reference common_gather advance.hpp:116-123). Returns [v_pad] in the traversal
+    direction's sorted ordering; zero-degree and padded rows get the monoid identity.
+
+    src_arrays: per-src-vertex inputs, [v_pad]-shaped, same ordering.
+    src_active: optional bool [v_pad] — messages from inactive sources are masked to
+      the identity (this is how a dense push-from-frontier is expressed as a pull).
+    """
+    mon = M.get(combine)
+    dg = graph.direction(direction)
+    dst_arrays = dst_arrays or {}
+
+    probe_src = {k: v[:1, None] for k, v in src_arrays.items()}
+    probe_dst = {k: v[:1, None] for k, v in dst_arrays.items()}
+    probe_w = None if edge_values is None else edge_values.flat[:1][:, None]
+    probe = edge_op(probe_src, probe_dst, probe_w)
+    dtype = out_dtype or probe.dtype
+    ident = mon.identity(dtype)
+
+    parts = []
+    covered = 0
+
+    if dg.huge is not None:
+        h = dg.huge
+        sv = _gather_src(src_arrays, h.adj)
+        dvals = ({k: jnp.take(a, h.seg_ids, mode="clip")[:, None]
+                  for k, a in dst_arrays.items()})
+        w = None if edge_values is None else edge_values.huge_tile
+        msg = edge_op(sv, dvals, w).astype(dtype)
+        valid = h.adj < dg.v_pad
+        if src_active is not None:
+            valid = valid & jnp.take(src_active, h.adj, mode="clip")
+        msg = jnp.where(valid, msg, ident)
+        chunk_red = mon.reduce_axis(msg, 1)                       # [n_chunks_pad]
+        seg = mon.segment_reduce(chunk_red, h.seg_ids, h.n_rows + 1,
+                                 indices_are_sorted=True)
+        parts.append(seg[:h.n_rows])
+        covered = h.n_rows
+
+    for i, b in enumerate(dg.buckets):
+        sv = _gather_src(src_arrays, b.adj)
+        dvals = _dst_slice(dst_arrays, b.row_start, b.rows_pad)
+        w = None if edge_values is None else edge_values.bucket_tiles[i]
+        msg = edge_op(sv, dvals, w).astype(dtype)
+        valid = b.adj < dg.v_pad
+        if src_active is not None:
+            valid = valid & jnp.take(src_active, b.adj, mode="clip")
+        msg = jnp.where(valid, msg, ident)
+        red = mon.reduce_axis(msg, 1)                             # [rows_pad]
+        parts.append(red[:b.rows])
+        covered = b.row_start + b.rows
+
+    if covered < graph.v_pad:
+        parts.append(jnp.full((graph.v_pad - covered,), ident, dtype=dtype))
+    return jnp.concatenate(parts) if len(parts) > 1 else parts[0]
+
+
+def advance_push_sparse(graph: VGLGraph,
+                        frontier_ids: jax.Array,       # int32 [cap], pad = v_pad
+                        frontier_valid: jax.Array,     # bool [cap]
+                        edge_capacity: int,
+                        src_arrays: Dict[str, jax.Array],
+                        edge_op: EdgeOp,
+                        combine,
+                        out: jax.Array,
+                        edge_values: Optional[DirectedEdgeValues] = None,
+                        direction: TraversalDirection = TraversalDirection.SCATTER,
+                        ) -> jax.Array:
+    """Work-efficient push from a compacted frontier (sparse advance, the analog of
+    the reference's sparse collective kernel `nec/advance_sparse.hpp:190-250`).
+
+    Expands the frontier's ragged adjacency into a flat padded edge list of static
+    size ``edge_capacity`` (cumsum + searchsorted), gathers messages edge-parallel,
+    and scatter-combines into ``out`` ([v_pad], same ordering). Deterministic for
+    min/max; add uses XLA scatter-add (unique-indices=False).
+    """
+    mon = M.get(combine)
+    dg = graph.direction(direction)
+    cap = frontier_ids.shape[0]
+
+    degs = jnp.where(frontier_valid,
+                     jnp.take(dg.degrees, frontier_ids, mode="clip"), 0)
+    ends = jnp.cumsum(degs)                                     # inclusive
+    starts_local = ends - degs
+    total = ends[-1] if cap > 0 else jnp.int32(0)
+
+    pos = jnp.arange(edge_capacity, dtype=jnp.int32)
+    # owner frontier slot per edge position: first slot whose cumulative end > pos
+    owner = jnp.searchsorted(ends, pos, side="right").astype(jnp.int32)
+    owner_c = jnp.minimum(owner, cap - 1)
+    evalid = pos < total
+
+    src_sorted = jnp.take(frontier_ids, owner_c, mode="clip")
+    row_start = jnp.take(dg.row_ptr, src_sorted, mode="clip")
+    e_off = pos - jnp.take(starts_local, owner_c, mode="clip")
+    e_slot = jnp.where(evalid, row_start + e_off, dg.e_pad)
+
+    dsts = jnp.take(dg.col_idx, e_slot, mode="clip")
+    sv = {k: jnp.take(a, src_sorted, mode="clip")[:, None]
+          for k, a in src_arrays.items()}
+    w = (None if edge_values is None
+         else jnp.take(edge_values.flat, e_slot, mode="clip")[:, None])
+    msg = edge_op(sv, {}, w)[:, 0]
+    msg = msg.astype(out.dtype)
+
+    scatter_idx = jnp.where(evalid, dsts, out.shape[0])   # OOB → dropped
+    return mon.scatter_at(out, scatter_idx, msg, mode="drop")

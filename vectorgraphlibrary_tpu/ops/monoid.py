@@ -1,0 +1,84 @@
+"""Combine monoids for edge-message aggregation.
+
+The reference expresses combination inside user lambdas with vector-register
+accumulators + post-reduce (`nec/vector_register/vector_registers.h:3-60`) or atomics
+(`architecture_independent_api.h:47-69`). TPU-native: combination is an explicit
+monoid so every advance lowers to dense reductions / segment reductions — races
+disappear into functional semantics (SURVEY.md §5 "race detection").
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+
+
+@dataclasses.dataclass(frozen=True)
+class Monoid:
+    name: str
+    combine: Callable                 # elementwise binary op
+    reduce_axis: Callable             # (arr, axis) -> reduced
+    segment_reduce: Callable          # (data, seg_ids, num_segments, sorted) -> arr
+
+    def identity(self, dtype):
+        d = jnp.dtype(dtype)
+        if self.name == "add":
+            return jnp.zeros((), d)
+        if self.name == "min":
+            return (jnp.array(jnp.iinfo(d).max, d) if jnp.issubdtype(d, jnp.integer)
+                    else jnp.array(jnp.inf, d))
+        if self.name == "max":
+            if d == jnp.dtype(bool):
+                return jnp.array(False)
+            return (jnp.array(jnp.iinfo(d).min, d) if jnp.issubdtype(d, jnp.integer)
+                    else jnp.array(-jnp.inf, d))
+        if self.name == "or":
+            return jnp.zeros((), d)
+        raise ValueError(self.name)
+
+    def scatter_at(self, target, idx, vals, mode="drop"):
+        at = target.at[idx]
+        if self.name == "add":
+            return at.add(vals, mode=mode)
+        if self.name == "min":
+            return at.min(vals, mode=mode)
+        if self.name in ("max", "or"):
+            return at.max(vals, mode=mode)
+        raise ValueError(self.name)
+
+
+ADD = Monoid("add", jnp.add, jnp.sum, jax.ops.segment_sum)
+MIN = Monoid("min", jnp.minimum, jnp.min, jax.ops.segment_min)
+MAX = Monoid("max", jnp.maximum, jnp.max, jax.ops.segment_max)
+def _or_combine(a, b):
+    return jnp.logical_or(a, b) if a.dtype == bool else jnp.bitwise_or(a, b)
+
+
+def _or_reduce(a, axis):
+    if a.dtype == bool:
+        return jnp.any(a, axis=axis)
+    return jax.lax.reduce(a, jnp.zeros((), a.dtype), jax.lax.bitwise_or, (axis,))
+
+
+def _or_segment(data, seg_ids, num_segments, indices_are_sorted=False):
+    if data.dtype == bool:
+        return jax.ops.segment_max(data, seg_ids, num_segments,
+                                   indices_are_sorted=indices_are_sorted)
+    # int bitmask OR: max is NOT equivalent; decompose via segment_sum of distinct
+    # bits is overkill — use lax scatter with or is unavailable, so fall back to
+    # bool-per-bit only when needed. Current callers (coloring) never hit this path.
+    raise NotImplementedError("segment OR over int bitmasks")
+
+
+# logical-or over bool (BFS reachability) / bitwise-or over ints (coloring bitmasks)
+OR = Monoid("or", _or_combine, _or_reduce, _or_segment)
+
+MONOIDS = {"add": ADD, "min": MIN, "max": MAX, "or": OR}
+
+
+def get(name_or_monoid) -> Monoid:
+    if isinstance(name_or_monoid, Monoid):
+        return name_or_monoid
+    return MONOIDS[name_or_monoid]
