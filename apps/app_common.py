@@ -1,0 +1,46 @@
+"""Shared benchmark-app skeleton.
+
+Every app follows the reference main shape (`apps/bfs/bfs.cpp:15-62`):
+init → parse → prepare_graph → rounds{run, optional -check} → stats → AVG_PERF.
+"""
+from __future__ import annotations
+
+import sys
+import time
+
+import jax
+import numpy as np
+
+sys.path.insert(0, __file__.rsplit("/", 2)[0])   # repo root
+
+import vectorgraphlibrary_tpu as vgl
+from vectorgraphlibrary_tpu.models import common
+from vectorgraphlibrary_tpu.runtime import cli, runtime
+from vectorgraphlibrary_tpu.runtime.perf_stats import performance_stats
+
+
+def run_app(app_name: str, run_round, check_round=None, need_weights: bool = False,
+            needs_source: bool = True, argv=None) -> int:
+    """run_round(ec, graph, weights, source, cfg) -> result (pytree synced for
+    timing); check_round(ec, graph, weights, source, result, cfg) -> error count."""
+    cfg = cli.parse_args(argv, app_name)
+    runtime.init_library(cfg)
+    ec, graph, weights = runtime.prepare_graph(cfg, need_weights=need_weights)
+    print(f"graph: |V|={graph.v} |E|={graph.e} format={cfg.graph_format.value}")
+
+    runtime.start_measuring_stats()
+    total_errors = 0
+    for it in range(cfg.iterations):
+        source = common.select_random_source(ec, seed=cfg.seed + it) \
+            if needs_source else None
+        t0 = time.perf_counter()
+        result = run_round(ec, graph, weights, source, cfg)
+        jax.block_until_ready(result)
+        dt = time.perf_counter() - t0
+        performance_stats.save_algorithm_performance_stats(app_name, dt, graph.e)
+        if cfg.check and check_round is not None:
+            total_errors += check_round(ec, graph, weights, source, result, cfg)
+    runtime.stop_measuring_stats()
+    runtime.report_performance(app_name)
+    runtime.finalize_library()
+    return 1 if (cfg.check and total_errors > 0) else 0

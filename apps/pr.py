@@ -1,0 +1,24 @@
+"""PageRank benchmark app (reference apps/pr analog)."""
+import sys
+
+from app_common import run_app
+import vectorgraphlibrary_tpu as vgl
+from vectorgraphlibrary_tpu.models import pr
+from vectorgraphlibrary_tpu.utils import verify
+
+
+def run_round(ec, graph, weights, source, cfg):
+    ranks, _ = pr.vgl_page_rank(graph, max_iterations=100)
+    return ranks.values
+
+
+def check_round(ec, graph, weights, source, result, cfg):
+    from vectorgraphlibrary_tpu.config import TraversalDirection
+    arr = vgl.VertexArray(values=result, direction=TraversalDirection.GATHER)
+    got = vgl.as_original_numpy(arr, graph)
+    want = pr.seq_page_rank(ec, max_iterations=100)
+    return verify.verify_ranking_results(got, want)
+
+
+if __name__ == "__main__":
+    sys.exit(run_app("pr", run_round, check_round, needs_source=False))

@@ -1,0 +1,25 @@
+"""SSSP benchmark app (reference apps/sssp analog)."""
+import sys
+
+from app_common import run_app
+import vectorgraphlibrary_tpu as vgl
+from vectorgraphlibrary_tpu.models import sssp
+from vectorgraphlibrary_tpu.utils import verify
+
+
+def run_round(ec, graph, weights, source, cfg):
+    if cfg.all_active:
+        dist, _ = sssp.vgl_dijkstra_all_active(graph, weights, source)
+    else:
+        dist, _ = sssp.vgl_dijkstra_partial_active(graph, weights, source)
+    return dist
+
+
+def check_round(ec, graph, weights, source, result, cfg):
+    got = vgl.as_original_numpy(result, graph)
+    want = sssp.seq_dijkstra(ec, source)
+    return verify.verify_results(got, want)
+
+
+if __name__ == "__main__":
+    sys.exit(run_app("sssp", run_round, check_round, need_weights=True))

@@ -5,11 +5,21 @@ xla_force_host_platform_device_count=8 virtual CPU devices (the "fake cluster" t
 reference lacks — SURVEY.md §4 implication (d))."""
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# NOTE: this environment's sitecustomize imports jax at interpreter startup with
+# JAX_PLATFORMS=axon (TPU tunnel), so setting the env var here is too late — use
+# jax.config.update, and set XLA_FLAGS before the cpu backend initializes.
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8").strip()
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+# persistent compilation cache: CPU XLA compiles of the tiled kernels dominate test
+# wall time; cache them across runs
+jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 import numpy as np
 import pytest

@@ -1,0 +1,92 @@
+"""Algorithms vs sequential oracles (the reference's -check contract, SURVEY.md §4)."""
+import numpy as np
+import pytest
+
+import vectorgraphlibrary_tpu as vgl
+from vectorgraphlibrary_tpu.graph.device import import_graph
+from vectorgraphlibrary_tpu.graph.edges import build_edge_array_from_host
+from vectorgraphlibrary_tpu.models import bfs, pr, sssp, common
+from vectorgraphlibrary_tpu.utils import verify
+
+
+@pytest.fixture(scope="module")
+def setup(small_rmat):
+    ec = small_rmat.with_random_weights(seed=11)
+    host = []
+    g = import_graph(ec, _host_out=host)
+    ea = build_edge_array_from_host(ec.weights, g, host[0], host[1])
+    return ec, g, ea
+
+
+@pytest.fixture(scope="module")
+def setup_ru(small_ru):
+    ec = small_ru.with_random_weights(seed=13)
+    host = []
+    g = import_graph(ec, _host_out=host)
+    ea = build_edge_array_from_host(ec.weights, g, host[0], host[1])
+    return ec, g, ea
+
+
+def test_pagerank_vs_oracle(setup):
+    ec, g, ea = setup
+    ranks, iters = pr.vgl_page_rank(g, max_iterations=100)
+    got = vgl.as_original_numpy(ranks, g)
+    want = pr.seq_page_rank(ec, max_iterations=100)
+    assert verify.verify_ranking_results(got, want) == 0
+    np.testing.assert_allclose(got.sum(), 1.0, rtol=1e-3)
+    assert iters > 2
+
+
+def test_bfs_top_down_vs_oracle(setup):
+    ec, g, ea = setup
+    src = common.select_random_source(ec, seed=1)
+    levels = bfs.vgl_top_down(g, src)
+    got = vgl.as_original_numpy(levels, g)
+    want = bfs.seq_top_down(ec, src)
+    assert verify.verify_results(got, want) == 0
+
+
+def test_bfs_direction_optimizing_vs_oracle(setup):
+    ec, g, ea = setup
+    for seed in (2, 3):
+        src = common.select_random_source(ec, seed=seed)
+        levels = bfs.vgl_bfs(g, src)
+        got = vgl.as_original_numpy(levels, g)
+        want = bfs.seq_top_down(ec, src)
+        assert verify.verify_results(got, want) == 0
+
+
+def test_bfs_on_uniform(setup_ru):
+    ec, g, ea = setup_ru
+    src = common.select_random_source(ec, seed=5)
+    got = vgl.as_original_numpy(bfs.vgl_bfs(g, src), g)
+    want = bfs.seq_top_down(ec, src)
+    assert verify.verify_results(got, want) == 0
+
+
+def test_sssp_all_active_vs_oracle(setup):
+    ec, g, ea = setup
+    src = common.select_random_source(ec, seed=4)
+    dist, iters = sssp.vgl_dijkstra_all_active(g, ea, src)
+    got = vgl.as_original_numpy(dist, g)
+    want = sssp.seq_dijkstra(ec, src)
+    assert verify.verify_results(got, want) == 0
+    assert iters >= 2
+
+
+def test_sssp_partial_active_vs_oracle(setup):
+    ec, g, ea = setup
+    src = common.select_random_source(ec, seed=6)
+    dist, iters = sssp.vgl_dijkstra_partial_active(g, ea, src)
+    got = vgl.as_original_numpy(dist, g)
+    want = sssp.seq_dijkstra(ec, src)
+    assert verify.verify_results(got, want) == 0
+
+
+def test_sssp_partial_equals_all_active(setup_ru):
+    ec, g, ea = setup_ru
+    src = common.select_random_source(ec, seed=7)
+    d1, _ = sssp.vgl_dijkstra_all_active(g, ea, src)
+    d2, _ = sssp.vgl_dijkstra_partial_active(g, ea, src)
+    np.testing.assert_allclose(vgl.as_original_numpy(d1, g),
+                               vgl.as_original_numpy(d2, g), rtol=1e-5)

@@ -1,0 +1,78 @@
+"""CC / HITS / coloring / SSWP / RW vs oracles."""
+import numpy as np
+import pytest
+
+import vectorgraphlibrary_tpu as vgl
+from vectorgraphlibrary_tpu.graph.device import import_graph
+from vectorgraphlibrary_tpu.graph.edges import build_edge_array_from_host
+from vectorgraphlibrary_tpu.models import cc, hits, coloring, sswp, rw, common
+from vectorgraphlibrary_tpu.utils import verify
+
+
+@pytest.fixture(scope="module")
+def setup(small_rmat):
+    ec = small_rmat.with_random_weights(seed=21)
+    host = []
+    g = import_graph(ec, _host_out=host)
+    ea = build_edge_array_from_host(ec.weights, g, host[0], host[1])
+    return ec, g, ea
+
+
+def test_cc_shiloach_vishkin(setup):
+    ec, g, ea = setup
+    labels, iters = cc.vgl_shiloach_vishkin(g)
+    got = np.asarray(labels.values)[:g.v]
+    want = cc.seq_cc(ec)
+    assert verify.equal_components(got, want) == 0
+    assert iters >= 1
+
+
+def test_cc_bfs_based():
+    # small graph: the BFS-based variant floods one component per host-loop round
+    from vectorgraphlibrary_tpu.io import generation
+    from vectorgraphlibrary_tpu.graph.device import import_graph
+    ec = generation.rmat(scale=7, avg_degree=4, seed=9)
+    g = import_graph(ec)
+    labels = cc.vgl_bfs_based(g)
+    got = np.asarray(labels.values)[:g.v]
+    want = cc.seq_cc(ec)
+    assert verify.equal_components(got, want) == 0
+
+
+def test_hits(setup):
+    ec, g, ea = setup
+    auth, hub = hits.vgl_hits(g, iterations=15)
+    wa, wh = hits.seq_hits(ec, iterations=15)
+    assert verify.verify_ranking_results(
+        np.asarray(auth.values)[:g.v], wa) == 0
+    assert verify.verify_ranking_results(
+        np.asarray(hub.values)[:g.v], wh) == 0
+
+
+def test_coloring(setup):
+    ec, g, ea = setup
+    colors, rounds = coloring.vgl_coloring(g)
+    got = np.asarray(colors.values)[:g.v]
+    assert verify.verify_colors(ec, got) == 0
+    assert got.min() >= 0
+    # sane color count: close to greedy oracle's
+    want = coloring.seq_coloring(ec)
+    assert got.max() <= max(int(want.max()) * 3, 8)
+
+
+def test_sswp(setup):
+    ec, g, ea = setup
+    src = common.select_random_source(ec, seed=31)
+    caps, _ = sswp.vgl_widest_paths(g, ea, src)
+    got = vgl.as_original_numpy(caps, g)
+    want = sswp.seq_widest_paths(ec, src)
+    assert verify.verify_results(got, want) == 0
+
+
+def test_random_walk(setup):
+    ec, g, ea = setup
+    src = common.select_random_source(ec, seed=41)
+    walkers = np.full(64, src, np.int64)
+    finals = rw.vgl_random_walk(g, walkers, walk_length=4, seed=7)
+    ok = rw.seq_random_walk_reachable(ec, src, walk_length=4)
+    assert ok[finals].all()

@@ -75,8 +75,8 @@ class VGLConfig:
     # collective three-way split (`nec_api.hpp:5-43`, settings.h:99-109):
     #   huge rows (deg > huge_degree_threshold) are row-split into fixed-width chunks
     #   ("vector engine" class); the rest live in power-of-two-width ELL buckets.
-    huge_degree_threshold: int = 4096
-    huge_row_chunk: int = 4096
+    huge_degree_threshold: int = 256
+    huge_row_chunk: int = 512
     min_bucket_width: int = 1
     # ---- frontier sparsity switch thresholds (settings.h:111-125) ----
     dense_frontier_threshold: float = 0.03   # active ratio below which SPARSE wins

@@ -91,7 +91,9 @@ def build_directed_csr(src: np.ndarray, dst: np.ndarray, vertices_count: int,
     """
     v = vertices_count
     e = int(src.shape[0])
-    v_pad = max(_round_up(v, 1024), 1024)
+    # power-of-two padding: vertex-space permutations (reorders) and slot routes
+    # run through Beneš networks, which need 2^k extents
+    v_pad = max(_next_pow2(v), 1024)
 
     degrees = np.bincount(src, minlength=v).astype(np.int64)
     # stable sort by descending degree → renumber maps

@@ -113,13 +113,24 @@ def _to_device_directed(h: HostDirectedCSR) -> DeviceDirectedGraph:
 @dataclasses.dataclass(frozen=True)
 class VGLGraph:
     """User-facing graph: outgoing + incoming directed containers
-    (reference vgl_graph.h:7-80). SCATTER traverses outgoing, GATHER incoming."""
+    (reference vgl_graph.h:7-80). SCATTER traverses outgoing, GATHER incoming.
+
+    ``advance_route`` (optional): the Beneš plan moving outgoing-tile slots to
+    incoming-tile slots — the gather-free advance path (ops/route.py). Forward =
+    pull over incoming; inverse = pull over outgoing."""
 
     outgoing: DeviceDirectedGraph
     incoming: DeviceDirectedGraph
+    advance_route: object = None            # Optional[RoutePlan]
+    # vertex-space Beneš plan: forward = SCATTER values from GATHER values
+    # (scatter_vals = apply_route(plan, gather_vals)); inverse = the reverse.
+    # Replaces per-iteration V-sized gathers in direction changes.
+    vertex_route_s_from_g: object = None    # Optional[RoutePlan]
     v: int = dataclasses.field(metadata=dict(static=True), default=0)
     v_pad: int = dataclasses.field(metadata=dict(static=True), default=0)
     e: int = dataclasses.field(metadata=dict(static=True), default=0)
+    out_slots: int = dataclasses.field(metadata=dict(static=True), default=0)
+    in_slots: int = dataclasses.field(metadata=dict(static=True), default=0)
     graph_format: GraphFormat = dataclasses.field(
         metadata=dict(static=True), default=GraphFormat.TILE_CSR)
 
@@ -136,8 +147,10 @@ class VGLGraph:
 
 def import_graph(ec: EdgesContainer, cfg: VGLConfig = DEFAULT_CONFIG,
                  graph_format: GraphFormat = GraphFormat.TILE_CSR,
-                 _host_out: Optional[list] = None) -> VGLGraph:
-    """COO → VGLGraph (both directions), reference vgl_graph.hpp:60-64."""
+                 _host_out: Optional[list] = None,
+                 build_route: bool = True) -> VGLGraph:
+    """COO → VGLGraph (both directions), reference vgl_graph.hpp:60-64.
+    build_route: also compute the Beneš advance route (gather-free advance)."""
     h_out = build_directed_csr(ec.src_ids, ec.dst_ids, ec.vertices_count, cfg)
     h_in = build_directed_csr(ec.dst_ids, ec.src_ids, ec.vertices_count, cfg)
     if _host_out is not None:
@@ -145,5 +158,19 @@ def import_graph(ec: EdgesContainer, cfg: VGLConfig = DEFAULT_CONFIG,
     out = _to_device_directed(h_out)
     inc = _to_device_directed(h_in)
     assert out.v_pad == inc.v_pad
-    return VGLGraph(outgoing=out, incoming=inc, v=ec.vertices_count,
-                    v_pad=out.v_pad, e=ec.edges_count, graph_format=graph_format)
+    route, out_slots, in_slots, vroute = None, 0, 0, None
+    if build_route and graph_format == GraphFormat.TILE_CSR:
+        from .route_build import build_advance_route
+        from ..ops.route import make_route_plan
+        route, out_slots, in_slots = build_advance_route(h_out, h_in)
+        # scatter_vals[i] = gather_vals[g_of_s[i]]: gather-space id of the vertex
+        # whose scatter-space id is i (identity on padding slots)
+        g_of_s = np.arange(h_out.vertices_pad, dtype=np.int64)
+        v = ec.vertices_count
+        g_of_s[:v] = h_in.orig_to_sorted[h_out.sorted_to_orig[:v]]
+        vroute = make_route_plan(g_of_s)
+    return VGLGraph(outgoing=out, incoming=inc, advance_route=route,
+                    vertex_route_s_from_g=vroute,
+                    v=ec.vertices_count, v_pad=out.v_pad, e=ec.edges_count,
+                    out_slots=out_slots, in_slots=in_slots,
+                    graph_format=graph_format)

@@ -1,0 +1,1 @@
+from . import common, pr, bfs, sssp

@@ -1,0 +1,156 @@
+"""BFS: top-down, bottom-up, and direction-optimizing.
+
+Capability match for the reference BFS (`algorithms/bfs/bfs.hpp:5-86` top-down;
+`bfs/hardwired_do_bfs.hpp` direction-optimizing state machine). Level convention
+matches the reference: source level = FIRST_LEVEL_VERTEX = 1, unvisited = -1
+(`bfs/change_state/change_state.h:21-23`).
+
+TPU-native design:
+- top-down step = compacted-frontier sparse push (`advance_push_sparse`) with
+  min-combine over candidate levels — work-efficient, power-of-two edge capacities
+  bound recompilation;
+- bottom-up step = dense tiled pull over incoming edges asking "is any in-neighbor
+  on the current level?" — the analog of the reference's bottom-up kernels; runs in
+  GATHER ordering, with levels reordered on direction switches exactly like
+  `change_traversal_direction` (common/graph_abstractions.hpp:80-125);
+- the direction-optimizing switch uses Beamer-style thresholds on frontier
+  neighbour counts, the analog of the reference's state machine
+  (`hardwired_do_bfs.hpp:925-990`).
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import TraversalDirection
+from ..graph.device import VGLGraph
+from ..graph.frontier import Frontier, compact_ids, from_vertex, from_mask
+from ..graph.vertices import VertexArray
+from ..ops.advance import advance_pull, advance_push_sparse
+from . import common
+
+S, G = TraversalDirection.SCATTER, TraversalDirection.GATHER
+UNVISITED = -1
+FIRST_LEVEL = 1
+_INF32 = jnp.iinfo(jnp.int32).max
+
+
+@functools.partial(jax.jit, static_argnums=(4,))
+def _td_step(graph: VGLGraph, levels_inf, ids, valid, ecap, current_level):
+    """One top-down step in SCATTER ordering. levels_inf uses INF for unvisited so
+    min-combine is monotone."""
+    out = advance_push_sparse(
+        graph, ids, valid, ecap, {"l": levels_inf},
+        lambda s, d, w: jnp.zeros_like(s["l"]) + (current_level + 1),
+        "min", levels_inf, direction=S)
+    new_mask = out < levels_inf
+    size = jnp.sum(new_mask, dtype=jnp.int32)
+    nbrs = jnp.sum(jnp.where(new_mask, graph.outgoing.degrees, 0), dtype=jnp.int32)
+    return out, new_mask, size, nbrs
+
+
+@jax.jit
+def _bu_step(graph: VGLGraph, levels_g, outdeg_g, current_level):
+    """One bottom-up step in GATHER ordering: unvisited vertices look for any
+    in-neighbor on the current level."""
+    on_level = levels_g == current_level
+    reached = advance_pull(
+        graph, {"m": on_level}, lambda s, d, w: s["m"], "or", direction=G)
+    newly = (levels_g == _INF32) & reached
+    levels_new = jnp.where(newly, current_level + 1, levels_g)
+    size = jnp.sum(newly, dtype=jnp.int32)
+    nbrs = jnp.sum(jnp.where(newly, outdeg_g, 0), dtype=jnp.int32)
+    return levels_new, newly, size, nbrs
+
+
+def vgl_top_down(graph: VGLGraph, source_vertex: int,
+                 max_capacity: int = 1 << 20) -> VertexArray:
+    """Pure top-down BFS (reference vgl_top_down)."""
+    v_pad = graph.v_pad
+    sid = int(np.asarray(graph.outgoing.orig_to_sorted[source_vertex]))
+    levels = jnp.full(v_pad, _INF32, jnp.int32).at[sid].set(FIRST_LEVEL)
+    mask = jnp.zeros(v_pad, bool).at[sid].set(True)
+    size = 1
+    nbrs = int(np.asarray(graph.outgoing.degrees[sid]))
+    current = FIRST_LEVEL
+    while size > 0:
+        cap = min(common.next_pow2(max(size, 8)), v_pad)
+        ecap = min(common.next_pow2(max(nbrs, 8)), max(graph.e, 8))
+        fr = Frontier(mask=mask, size=jnp.int32(size),
+                      neighbours_count=jnp.int32(nbrs), direction=S)
+        ids, valid = compact_ids(fr, cap)
+        levels, mask, dsize, dnbrs = _td_step(
+            graph, levels, ids, valid, ecap, jnp.int32(current))
+        size, nbrs = int(dsize), int(dnbrs)
+        current += 1
+    out = jnp.where(levels == _INF32, UNVISITED, levels)
+    return VertexArray(values=out, direction=S)
+
+
+def vgl_bfs(graph: VGLGraph, source_vertex: int, alpha: float = 15.0,
+            beta: float = 18.0) -> VertexArray:
+    """Direction-optimizing BFS (reference hardwired_do_bfs analog).
+
+    Runs top-down on small frontiers, switches to bottom-up pull when the frontier's
+    out-edge count exceeds |E_unexplored|/alpha, and back when the frontier shrinks
+    below |V|/beta (Beamer's heuristic; the reference uses the same shape of
+    thresholds in its change_state machine).
+    """
+    v, e, v_pad = graph.v, graph.e, graph.v_pad
+    sid = int(np.asarray(graph.outgoing.orig_to_sorted[source_vertex]))
+    levels = jnp.full(v_pad, _INF32, jnp.int32).at[sid].set(FIRST_LEVEL)
+    mask = jnp.zeros(v_pad, bool).at[sid].set(True)
+    size = 1
+    nbrs = int(np.asarray(graph.outgoing.degrees[sid]))
+    current = FIRST_LEVEL
+    state = "td"       # levels/mask ordering: td -> SCATTER, bu -> GATHER
+    unexplored_edges = e
+    outdeg_g = common.outdegrees_in(graph, G)
+
+    while size > 0:
+        if state == "td" and nbrs > unexplored_edges / alpha and size > 16:
+            levels = common.to_direction(graph, levels, S, G)
+            state = "bu"
+        elif state == "bu" and size < v / beta:
+            levels = common.to_direction(graph, levels, G, S)
+            mask = levels == current   # frontier mask in the new ordering
+            state = "td"
+
+        if state == "td":
+            cap = min(common.next_pow2(max(size, 8)), v_pad)
+            ecap = min(common.next_pow2(max(nbrs, 8)), max(e, 8))
+            fr = Frontier(mask=mask, size=jnp.int32(size),
+                          neighbours_count=jnp.int32(nbrs), direction=S)
+            ids, valid = compact_ids(fr, cap)
+            levels, mask, dsize, dnbrs = _td_step(
+                graph, levels, ids, valid, ecap, jnp.int32(current))
+            size, nbrs = int(dsize), int(dnbrs)
+        else:
+            levels, mask, dsize, dnbrs = _bu_step(graph, levels, outdeg_g,
+                                                  jnp.int32(current))
+            size, nbrs = int(dsize), int(dnbrs)
+        unexplored_edges = max(unexplored_edges - nbrs, 0)
+        current += 1
+
+    if state == "bu":
+        levels = common.to_direction(graph, levels, G, S)
+    out = jnp.where(levels == _INF32, UNVISITED, levels)
+    return VertexArray(values=out, direction=S)
+
+
+def seq_top_down(ec, source_vertex: int) -> np.ndarray:
+    """Sequential oracle: BFS levels, source=1, unvisited=-1 (reference seq_bfs)."""
+    import scipy.sparse as sp
+    import scipy.sparse.csgraph as csg
+    v = ec.vertices_count
+    a = sp.csr_matrix((np.ones(ec.edges_count, np.int8),
+                       (ec.src_ids, ec.dst_ids)), shape=(v, v))
+    hops = csg.shortest_path(a, method="D", unweighted=True, directed=True,
+                             indices=source_vertex)
+    levels = np.full(v, UNVISITED, np.int32)
+    reach = ~np.isinf(hops)
+    levels[reach] = hops[reach].astype(np.int32) + FIRST_LEVEL
+    return levels

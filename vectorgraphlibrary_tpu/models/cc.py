@@ -1,0 +1,141 @@
+"""Connected components: Shiloach-Vishkin label propagation + BFS-based.
+
+Capability match for the reference CC (`algorithms/cc/cc.h:18-44`,
+`shiloach_vishkin.hpp:6-91` hook+jump loop; `bfs_based.hpp`). TPU-native design:
+labels live in ORIGINAL id space (so label values are ordering-independent); each SV
+iteration is two tiled pulls (incoming + outgoing = undirected neighborhood min) and
+a pointer-halving jump — all inside one jitted `lax.while_loop` with the
+reduce-changes convergence test, zero host round-trips.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import TraversalDirection
+from ..graph.device import VGLGraph
+from ..graph.vertices import VertexArray, reorder
+from ..ops.advance import advance_pull
+from . import common
+
+S, G, O = (TraversalDirection.SCATTER, TraversalDirection.GATHER,
+           TraversalDirection.ORIGINAL)
+
+
+@functools.partial(jax.jit, static_argnums=(1,))
+def _sv_run(graph: VGLGraph, max_iterations: int):
+    v, v_pad = graph.v, graph.v_pad
+    ids = jnp.arange(v_pad, dtype=jnp.int32)
+    real = ids < v
+    labels0 = jnp.where(real, ids, jnp.int32(v))   # ORIGINAL ids as labels
+
+    o2s = graph.outgoing.orig_to_sorted
+    s2o_out = graph.outgoing.sorted_to_orig
+    o2g = graph.incoming.orig_to_sorted
+    s2o_in = graph.incoming.sorted_to_orig
+    BIG = jnp.int32(2**31 - 1)
+
+    def hook(labels):
+        """min over undirected neighborhood, computed per direction."""
+        lab_g = jnp.take(labels, s2o_in, mode="clip")       # GATHER ordering
+        m_in = advance_pull(graph, {"l": lab_g}, lambda s, d, w: s["l"],
+                            "min", direction=G)
+        m_in_orig = jnp.take(m_in, o2g, mode="clip")
+
+        lab_s = jnp.take(labels, s2o_out, mode="clip")      # SCATTER ordering
+        m_out = advance_pull(graph.__class__(
+            outgoing=graph.incoming, incoming=graph.outgoing, v=graph.v,
+            v_pad=graph.v_pad, e=graph.e, graph_format=graph.graph_format),
+            {"l": lab_s}, lambda s, d, w: s["l"], "min", direction=G)
+        # NOTE: swapping containers makes "incoming" = outgoing edges, so this pull
+        # aggregates over OUT-neighbors while staying in the tiled pull kernel.
+        m_out_orig = jnp.take(m_out, o2s, mode="clip")
+        return jnp.minimum(labels, jnp.minimum(m_in_orig, m_out_orig))
+
+    def jump(labels):
+        return jnp.take(labels, jnp.minimum(labels, v_pad - 1), mode="clip")
+
+    def cond(state):
+        labels, prev, it = state
+        return (it < max_iterations) & jnp.any(labels != prev)
+
+    def body(state):
+        labels, _, it = state
+        new = hook(labels)
+        new = jump(jump(new))
+        new = jnp.where(real, new, jnp.int32(v))
+        return new, labels, it + 1
+
+    labels, _, iters = jax.lax.while_loop(
+        cond, body, (labels0, jnp.full_like(labels0, -1), jnp.int32(0)))
+    return labels, iters
+
+
+def vgl_shiloach_vishkin(graph: VGLGraph, max_iterations: int = 1000
+                         ) -> tuple[VertexArray, int]:
+    labels, iters = _sv_run(graph, max_iterations)
+    return VertexArray(values=labels, direction=O), int(iters)
+
+
+def vgl_bfs_based(graph: VGLGraph, max_components: int = 1_000_000
+                  ) -> VertexArray:
+    """BFS-based CC (reference cc/bfs_based.hpp): repeatedly BFS-flood the first
+    unlabeled vertex over the undirected graph. Efficient when components are few;
+    isolated vertices are labeled in one vectorized shot first."""
+    v, v_pad = graph.v, graph.v_pad
+    ids = jnp.arange(v_pad, dtype=jnp.int32)
+    real = ids < v
+    # ORIGINAL-space degrees (und: out+in)
+    outdeg_o = common.to_direction(graph, graph.outgoing.degrees, S, O)
+    indeg_o = common.to_direction(graph, graph.incoming.degrees, G, O)
+    und_deg = outdeg_o + indeg_o
+    labels = jnp.where(real & (und_deg == 0), ids, jnp.int32(-1))
+    labels = jnp.where(real, labels, jnp.int32(v))
+
+    @jax.jit
+    def flood_step(reach_o):
+        """One undirected BFS-flood expansion in ORIGINAL space."""
+        r_g = jnp.take(reach_o, graph.incoming.sorted_to_orig, mode="clip")
+        via_in = advance_pull(graph, {"m": r_g}, lambda s, d, w: s["m"],
+                              "or", direction=G)
+        via_in_o = jnp.take(via_in, graph.incoming.orig_to_sorted, mode="clip")
+        swapped = graph.__class__(
+            outgoing=graph.incoming, incoming=graph.outgoing, v=graph.v,
+            v_pad=graph.v_pad, e=graph.e, graph_format=graph.graph_format)
+        r_s = jnp.take(reach_o, graph.outgoing.sorted_to_orig, mode="clip")
+        via_out = advance_pull(swapped, {"m": r_s}, lambda s, d, w: s["m"],
+                               "or", direction=G)
+        via_out_o = jnp.take(via_out, graph.outgoing.orig_to_sorted, mode="clip")
+        return (reach_o | via_in_o | via_out_o) & real
+
+    comp = 0
+    while comp < max_components:
+        unlabeled = np.asarray(jnp.argmax((labels == -1).astype(jnp.int32)))
+        seed = int(unlabeled)
+        if not bool(np.asarray(labels[seed] == -1)):
+            break
+        reach = jnp.zeros(v_pad, bool).at[seed].set(True)
+        size = 1
+        while True:
+            reach2 = flood_step(reach)
+            new_size = int(jnp.sum(reach2))
+            if new_size == size:
+                break
+            reach, size = reach2, new_size
+        labels = jnp.where(reach2, jnp.int32(seed), labels)
+        comp += 1
+    return VertexArray(values=labels, direction=O)
+
+
+def seq_cc(ec) -> np.ndarray:
+    """Oracle: weakly connected components via SciPy."""
+    import scipy.sparse as sp
+    import scipy.sparse.csgraph as csg
+    v = ec.vertices_count
+    a = sp.csr_matrix((np.ones(ec.edges_count, np.int8),
+                       (ec.src_ids, ec.dst_ids)), shape=(v, v))
+    _, labels = csg.connected_components(a, directed=True, connection="weak")
+    return labels.astype(np.int32)

@@ -1,0 +1,116 @@
+"""Greedy graph coloring (Jones-Plassmann style).
+
+Capability match for the reference coloring (`algorithms/coloring/coloring.hpp:66-158`):
+per-vertex banned-color bitmask (`set_bit/smallest_bit_pos` :13-62), gather neighbor
+colors, pick smallest free color, recolor-conflict loop; validated by the same
+property check (`verify_colors`, verify_results.h:291-319`).
+
+TPU-native design: a Jones-Plassmann round — every uncolored vertex whose priority
+beats all uncolored undirected neighbors picks the smallest color absent from its
+neighborhood. Banned sets are W×32-bit words accumulated with bitwise-OR tiled pulls
+(the reference's 64-bit mask generalized to a configurable 32·W-color window);
+priority = degree-descending sorted id, so the parallel result matches the greedy
+sequential ordering heuristic.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import TraversalDirection
+from ..graph.device import VGLGraph
+from ..graph.vertices import VertexArray
+from . import common
+
+O = TraversalDirection.ORIGINAL
+UNCOLORED = jnp.int32(-1)
+
+
+@functools.partial(jax.jit, static_argnums=(1, 2))
+def _coloring_run(graph: VGLGraph, words: int, max_rounds: int):
+    v, v_pad = graph.v, graph.v_pad
+    ids = jnp.arange(v_pad, dtype=jnp.int32)
+    real = ids < v
+    # priority: higher out+in degree first == lower outgoing-sorted id
+    prio = jnp.take(graph.outgoing.orig_to_sorted,
+                    jnp.minimum(ids, v_pad - 1), mode="clip")
+    colors0 = jnp.where(real, UNCOLORED, jnp.int32(0))
+
+    def banned_word(colors, w):
+        """OR of (1 << (color - 32w)) over undirected neighbors, per vertex."""
+        def op(s, d, wt):
+            c = s["c"]
+            in_word = (c >= 0) & (c // 32 == w)
+            return jnp.where(in_word,
+                             jnp.left_shift(jnp.int32(1), c % 32),
+                             jnp.int32(0))
+        return common.undirected_pull(graph, {"c": colors}, op, "or")
+
+    def round_body(state):
+        colors, rnd, _ = state
+        uncolored = (colors == UNCOLORED) & real
+        # highest uncolored-neighbor priority (min sorted id = highest priority)
+        def prio_op(s, d, wt):
+            return jnp.where(s["c"] == UNCOLORED, s["p"], jnp.int32(2**31 - 1))
+        nb_best = common.undirected_pull(
+            graph, {"c": colors, "p": prio}, prio_op, "min")
+        winner = uncolored & (prio < nb_best)
+
+        # smallest free color across words
+        cand = jnp.full(v_pad, jnp.int32(words * 32), jnp.int32)
+        for w in range(words):
+            bw = banned_word(colors, w)
+            free = jnp.bitwise_not(bw)
+            has_free = free != 0
+            lsb = free & (-free)
+            # position of least significant set bit
+            pos = (31 - jnp.clip(
+                jax.lax.clz(lsb.astype(jnp.uint32)).astype(jnp.int32), 0, 31))
+            word_cand = jnp.where(has_free, 32 * w + pos, jnp.int32(words * 32))
+            cand = jnp.minimum(cand, word_cand)
+
+        colors_new = jnp.where(winner, cand, colors)
+        remaining = jnp.sum((colors_new == UNCOLORED) & real, dtype=jnp.int32)
+        return colors_new, rnd + 1, remaining
+
+    def cond(state):
+        _, rnd, remaining = state
+        return (rnd < max_rounds) & (remaining > 0)
+
+    colors, rounds, remaining = jax.lax.while_loop(
+        cond, round_body, (colors0, jnp.int32(0), jnp.int32(v)))
+    return colors, rounds, remaining
+
+
+def vgl_coloring(graph: VGLGraph, max_colors: int = 64,
+                 max_rounds: int = 10_000) -> tuple[VertexArray, int]:
+    words = max(1, (max_colors + 31) // 32)
+    colors, rounds, remaining = _coloring_run(graph, words, max_rounds)
+    if int(remaining) > 0:
+        # color window too small for this graph — double and retry
+        return vgl_coloring(graph, max_colors * 2, max_rounds)
+    return VertexArray(values=colors, direction=O), int(rounds)
+
+
+def seq_coloring(ec) -> np.ndarray:
+    """Sequential greedy oracle (first-fit in vertex order)."""
+    v = ec.vertices_count
+    order = np.argsort(ec.src_ids, kind="stable")
+    import scipy.sparse as sp
+    und = sp.csr_matrix(
+        (np.ones(2 * ec.edges_count, np.int8),
+         (np.concatenate([ec.src_ids, ec.dst_ids]),
+          np.concatenate([ec.dst_ids, ec.src_ids]))), shape=(v, v))
+    colors = np.full(v, -1, np.int64)
+    indptr, indices = und.indptr, und.indices
+    for u in range(v):
+        nb = colors[indices[indptr[u]:indptr[u + 1]]]
+        nb = set(nb[nb >= 0].tolist())
+        c = 0
+        while c in nb:
+            c += 1
+        colors[u] = c
+    return colors.astype(np.int32)

@@ -1,0 +1,76 @@
+"""Shared algorithm helpers."""
+from __future__ import annotations
+
+import numpy as np
+import jax.numpy as jnp
+
+from ..config import TraversalDirection
+from ..graph.device import VGLGraph
+from ..graph.vertices import VertexArray, reorder
+
+
+def select_random_source(ec_or_degrees, seed: int = 0) -> int:
+    """Random non-zero-outdegree source vertex (reference apps/bfs/bfs.cpp:36-38
+    picks `select_non_zero_degree_vertex`)."""
+    degs = ec_or_degrees
+    if hasattr(degs, "src_ids"):
+        degs = np.bincount(degs.src_ids, minlength=degs.vertices_count)
+    rng = np.random.default_rng(seed)
+    nz = np.flatnonzero(degs)
+    if len(nz) == 0:
+        return 0
+    return int(nz[rng.integers(0, len(nz))])
+
+
+def to_direction(graph: VGLGraph, values, src_dir: TraversalDirection,
+                 dst_dir: TraversalDirection):
+    """Reorder a raw [v_pad] array between orderings."""
+    return reorder(VertexArray(values=values, direction=src_dir),
+                   graph, dst_dir).values
+
+
+def outdegrees_in(graph: VGLGraph, direction: TraversalDirection) -> jnp.ndarray:
+    """Out-degrees expressed in `direction`'s ordering."""
+    return to_direction(graph, graph.outgoing.degrees,
+                        TraversalDirection.SCATTER, direction)
+
+
+def indegrees_in(graph: VGLGraph, direction: TraversalDirection) -> jnp.ndarray:
+    return to_direction(graph, graph.incoming.degrees,
+                        TraversalDirection.GATHER, direction)
+
+
+def next_pow2(x: int) -> int:
+    return 1 if x <= 1 else 1 << int(np.ceil(np.log2(x)))
+
+
+def swapped(graph: VGLGraph) -> VGLGraph:
+    """Container-swapped view: pulls over it aggregate along OUTGOING edges while
+    reusing the same tiled gather kernel."""
+    return graph.__class__(outgoing=graph.incoming, incoming=graph.outgoing,
+                           v=graph.v, v_pad=graph.v_pad, e=graph.e,
+                           graph_format=graph.graph_format)
+
+
+def undirected_pull(graph: VGLGraph, arrays_orig: dict, edge_op, combine,
+                    mon_combine=None):
+    """Aggregate edge messages over the UNDIRECTED neighborhood, in ORIGINAL
+    ordering: combines a pull over incoming edges with a pull over outgoing edges.
+    arrays_orig values are [v_pad] in ORIGINAL ordering."""
+    import jax.numpy as jnp
+    from ..ops.advance import advance_pull
+    from ..ops import monoid as M
+    mon = M.get(combine)
+    s2o_in, o2g = graph.incoming.sorted_to_orig, graph.incoming.orig_to_sorted
+    s2o_out, o2s = graph.outgoing.sorted_to_orig, graph.outgoing.orig_to_sorted
+
+    arrs_g = {k: jnp.take(a, s2o_in, mode="clip") for k, a in arrays_orig.items()}
+    via_in = advance_pull(graph, arrs_g, edge_op, combine,
+                          direction=TraversalDirection.GATHER)
+    via_in_o = jnp.take(via_in, o2g, mode="clip")
+
+    arrs_s = {k: jnp.take(a, s2o_out, mode="clip") for k, a in arrays_orig.items()}
+    via_out = advance_pull(swapped(graph), arrs_s, edge_op, combine,
+                           direction=TraversalDirection.GATHER)
+    via_out_o = jnp.take(via_out, o2s, mode="clip")
+    return mon.combine(via_in_o, via_out_o)

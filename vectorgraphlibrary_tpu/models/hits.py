@@ -1,0 +1,83 @@
+"""HITS (hubs & authorities).
+
+Capability match for the reference HITS (`algorithms/hits/hits.hpp:5-176`):
+alternating gather phases — auth[v] = Σ hub[u] over incoming edges, hub[v] = Σ
+auth[w] over outgoing edges — each followed by L2 normalization, with a direction
+flip between phases (the reference's change_traversal_direction). TPU-native: both
+phases are tiled pulls (the hub phase pulls over the outgoing container via the
+container-swap trick), the whole iteration loop in one jitted `lax.fori_loop` in
+ORIGINAL space with per-phase reorders fused as gathers.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import TraversalDirection
+from ..graph.device import VGLGraph
+from ..graph.vertices import VertexArray
+from ..ops.advance import advance_pull
+
+S, G, O = (TraversalDirection.SCATTER, TraversalDirection.GATHER,
+           TraversalDirection.ORIGINAL)
+
+
+def _swapped(graph: VGLGraph) -> VGLGraph:
+    return graph.__class__(outgoing=graph.incoming, incoming=graph.outgoing,
+                           v=graph.v, v_pad=graph.v_pad, e=graph.e,
+                           graph_format=graph.graph_format)
+
+
+@functools.partial(jax.jit, static_argnums=(1,))
+def _hits_run(graph: VGLGraph, iterations: int):
+    v, v_pad = graph.v, graph.v_pad
+    real = jnp.arange(v_pad, dtype=jnp.int32) < v
+    auth0 = jnp.where(real, 1.0, 0.0).astype(jnp.float32)
+    hub0 = auth0
+    swapped = _swapped(graph)
+    s2o_in, o2g = graph.incoming.sorted_to_orig, graph.incoming.orig_to_sorted
+    s2o_out, o2s = graph.outgoing.sorted_to_orig, graph.outgoing.orig_to_sorted
+
+    def normalize(x):
+        n = jnp.sqrt(jnp.sum(x * x))
+        return jnp.where(n > 0, x / n, x)
+
+    def body(_, state):
+        auth, hub = state
+        hub_g = jnp.take(hub, s2o_in, mode="clip")
+        auth_new = advance_pull(graph, {"h": hub_g}, lambda s, d, w: s["h"],
+                                "add", direction=G)
+        auth = normalize(jnp.take(auth_new, o2g, mode="clip") * real)
+        auth_s = jnp.take(auth, s2o_out, mode="clip")
+        hub_new = advance_pull(swapped, {"a": auth_s}, lambda s, d, w: s["a"],
+                               "add", direction=G)
+        hub = normalize(jnp.take(hub_new, o2s, mode="clip") * real)
+        return auth, hub
+
+    return jax.lax.fori_loop(0, iterations, body, (auth0, hub0))
+
+
+def vgl_hits(graph: VGLGraph, iterations: int = 20
+             ) -> tuple[VertexArray, VertexArray]:
+    auth, hub = _hits_run(graph, iterations)
+    return (VertexArray(values=auth, direction=O),
+            VertexArray(values=hub, direction=O))
+
+
+def seq_hits(ec, iterations: int = 20) -> tuple[np.ndarray, np.ndarray]:
+    v = ec.vertices_count
+    auth = np.ones(v)
+    hub = np.ones(v)
+    for _ in range(iterations):
+        a = np.zeros(v)
+        np.add.at(a, ec.dst_ids, hub[ec.src_ids])
+        n = np.linalg.norm(a)
+        auth = a / n if n > 0 else a
+        h = np.zeros(v)
+        np.add.at(h, ec.src_ids, auth[ec.dst_ids])
+        n = np.linalg.norm(h)
+        hub = h / n if n > 0 else h
+    return auth.astype(np.float32), hub.astype(np.float32)

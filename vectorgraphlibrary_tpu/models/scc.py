@@ -1,0 +1,129 @@
+"""Strongly connected components: trim + forward-backward.
+
+Capability match for the reference SCC (`algorithms/scc/scc.h:21-60`,
+`scc.hpp:55-130`): iterative in/out-degree trimming (safe-store scatter/gather
+peeling) followed by forward-backward pivot decomposition; sequential oracle is
+Tarjan (`seq_scc.hpp`) — here SciPy's strong connected_components.
+
+TPU design: trim rounds and reachability floods are tiled pulls (masked to the
+active subgraph) inside jitted steps; the FB pivot loop runs on host exactly as the
+reference's recursion does.
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import TraversalDirection
+from ..graph.device import VGLGraph
+from ..graph.vertices import VertexArray
+from ..ops.advance import advance_pull
+from . import common
+
+S, G, O = (TraversalDirection.SCATTER, TraversalDirection.GATHER,
+           TraversalDirection.ORIGINAL)
+
+
+def _active_degree_step(graph: VGLGraph, active_o: jax.Array):
+    """(in-degree, out-degree) restricted to active vertices, ORIGINAL order."""
+    act_g = jnp.take(active_o, graph.incoming.sorted_to_orig, mode="clip")
+    indeg = advance_pull(graph, {"m": act_g.astype(jnp.int32)},
+                         lambda s, d, w: s["m"], "add", direction=G)
+    indeg_o = jnp.take(indeg, graph.incoming.orig_to_sorted, mode="clip")
+    act_s = jnp.take(active_o, graph.outgoing.sorted_to_orig, mode="clip")
+    outdeg = advance_pull(common.swapped(graph), {"m": act_s.astype(jnp.int32)},
+                          lambda s, d, w: s["m"], "add", direction=G)
+    outdeg_o = jnp.take(outdeg, graph.outgoing.orig_to_sorted, mode="clip")
+    return indeg_o, outdeg_o
+
+
+@jax.jit
+def _trim_step(graph: VGLGraph, labels_o: jax.Array, real: jax.Array):
+    """One trim round: active vertices with zero active in- or out-degree become
+    their own (singleton) SCC."""
+    active = (labels_o == -1) & real
+    indeg_o, outdeg_o = _active_degree_step(graph, active)
+    trim = active & ((indeg_o == 0) | (outdeg_o == 0))
+    ids = jnp.arange(labels_o.shape[0], dtype=jnp.int32)
+    new_labels = jnp.where(trim, ids, labels_o)
+    return new_labels, jnp.sum(trim, dtype=jnp.int32)
+
+
+import functools
+
+
+@functools.partial(jax.jit, static_argnums=(3,))
+def _reach_step(graph: VGLGraph, reach_o: jax.Array, active_o: jax.Array,
+                forward: bool):
+    """Expand reachability one hop along outgoing (forward) or incoming edges,
+    restricted to the active subgraph; ORIGINAL ordering."""
+    if forward:
+        # who can I reach: new = any in-neighbor (w.r.t. reversed edges) reached
+        r_s = jnp.take(reach_o, graph.outgoing.sorted_to_orig, mode="clip")
+        via = advance_pull(common.swapped(graph), {"m": r_s},
+                           lambda s, d, w: s["m"], "or", direction=G)
+        via_o = jnp.take(via, graph.outgoing.orig_to_sorted, mode="clip")
+    else:
+        r_g = jnp.take(reach_o, graph.incoming.sorted_to_orig, mode="clip")
+        via = advance_pull(graph, {"m": r_g}, lambda s, d, w: s["m"],
+                           "or", direction=G)
+        via_o = jnp.take(via, graph.incoming.orig_to_sorted, mode="clip")
+    return reach_o | (via_o & active_o)
+
+
+def _flood(graph: VGLGraph, seed: int, active_o, forward: bool):
+    v_pad = graph.v_pad
+    reach = jnp.zeros(v_pad, bool).at[seed].set(True)
+    size = 1
+    while True:
+        reach2 = _reach_step(graph, reach, active_o, forward)
+        s2 = int(jnp.sum(reach2))
+        if s2 == size:
+            return reach2
+        reach, size = reach2, s2
+
+
+def vgl_forward_backward(graph: VGLGraph, max_pivots: int = 1_000_000
+                         ) -> VertexArray:
+    """Labels in ORIGINAL ordering; label = min original id of the component's
+    pivot (relabel-invariant comparison applies, reference equal_components)."""
+    v, v_pad = graph.v, graph.v_pad
+    ids = jnp.arange(v_pad, dtype=jnp.int32)
+    real = ids < v
+    labels = jnp.where(real, jnp.int32(-1), jnp.int32(v))
+
+    # trim to fixpoint (reference scc.hpp trim loop)
+    while True:
+        labels, ntrim = _trim_step(graph, labels, real)
+        if int(ntrim) == 0:
+            break
+
+    pivots = 0
+    while pivots < max_pivots:
+        seed = int(jnp.argmax(((labels == -1) & real).astype(jnp.int32)))
+        if not bool(labels[seed] == -1):
+            break
+        active = (labels == -1) & real
+        fwd = _flood(graph, seed, active, forward=True)
+        bwd = _flood(graph, seed, active, forward=False)
+        scc = (fwd & bwd & active) | (ids == seed)
+        labels = jnp.where(scc, jnp.int32(seed), labels)
+        pivots += 1
+        # re-trim the remainder: removing an SCC creates new zero-degree vertices
+        while True:
+            labels, ntrim = _trim_step(graph, labels, real)
+            if int(ntrim) == 0:
+                break
+    return VertexArray(values=labels, direction=O)
+
+
+def seq_scc(ec) -> np.ndarray:
+    """Tarjan-equivalent oracle (reference seq_scc.hpp) via SciPy."""
+    import scipy.sparse as sp
+    import scipy.sparse.csgraph as csg
+    v = ec.vertices_count
+    a = sp.csr_matrix((np.ones(ec.edges_count, np.int8),
+                       (ec.src_ids, ec.dst_ids)), shape=(v, v))
+    _, labels = csg.connected_components(a, directed=True, connection="strong")
+    return labels.astype(np.int32)

@@ -1,0 +1,157 @@
+"""SSSP — Bellman-Ford family (the reference names it "dijkstra").
+
+Capability match for the reference SSSP (`algorithms/sssp/shortest_paths.hpp:5-317`):
+all-active push (:85-162), all-active pull (:170-280), and partial-active
+work-frontier variants. TPU-native design:
+- all-active relaxations are a single tiled pull over incoming edges with
+  min-combine, iterated inside a jitted `lax.while_loop` whose condition is the
+  reduce-changes test the reference performs (:143-152) — no host sync per iteration;
+- the partial-active variant keeps a changed-vertex frontier and uses compacted
+  sparse push when the frontier is small, dense pull otherwise (the reference's
+  DENSE/SPARSE threshold switch, settings.h:111-125).
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import TraversalDirection
+from ..graph.device import VGLGraph
+from ..graph.edges import EdgeArray
+from ..graph.frontier import Frontier, compact_ids
+from ..graph.vertices import VertexArray
+from ..ops.advance import advance_pull, advance_push_sparse
+from . import common
+
+S, G = TraversalDirection.SCATTER, TraversalDirection.GATHER
+
+
+@functools.partial(jax.jit, static_argnums=(4,))
+def _all_active_run(graph: VGLGraph, weights_in, source_sorted_gather,
+                    dist0, max_iterations: int):
+    """Bellman-Ford to fixpoint, fully on device (GATHER ordering)."""
+
+    def relax(dist):
+        cand = advance_pull(
+            graph, {"d": dist}, lambda s, d, w: s["d"] + w, "min",
+            edge_values=weights_in, direction=G)
+        return jnp.minimum(dist, cand)
+
+    def cond(state):
+        dist, prev, it = state
+        return (it < max_iterations) & jnp.any(dist != prev)
+
+    def body(state):
+        dist, _, it = state
+        return relax(dist), dist, it + 1
+
+    dist0 = dist0.at[source_sorted_gather].set(0.0)
+    dist, _, iters = jax.lax.while_loop(
+        cond, body, (relax(dist0), dist0, jnp.int32(1)))
+    return dist, iters
+
+
+def vgl_dijkstra_all_active(graph: VGLGraph, weights: EdgeArray,
+                            source_vertex: int,
+                            max_iterations: int = 10_000
+                            ) -> tuple[VertexArray, int]:
+    """All-active Bellman-Ford (push and pull are the same tiled pull on TPU —
+    the reference's push (:85) and pull (:170) variants differ only in which
+    container they traverse; we traverse incoming)."""
+    sid = graph.incoming.orig_to_sorted[source_vertex]
+    dist0 = jnp.full(graph.v_pad, jnp.inf, jnp.float32)
+    dist, iters = _all_active_run(graph, weights.incoming, sid, dist0,
+                                  max_iterations)
+    return VertexArray(values=dist, direction=G), int(iters)
+
+
+@functools.partial(jax.jit, static_argnums=(5,))
+def _partial_push_step(graph: VGLGraph, weights_out, dist, ids, valid, ecap):
+    """Sparse relax from changed vertices (SCATTER ordering)."""
+    out = advance_push_sparse(
+        graph, ids, valid, ecap, {"d": dist},
+        lambda s, d, w: s["d"] + w, "min", dist,
+        edge_values=weights_out, direction=S)
+    changed = out < dist
+    size = jnp.sum(changed, dtype=jnp.int32)
+    nbrs = jnp.sum(jnp.where(changed, graph.outgoing.degrees, 0), dtype=jnp.int32)
+    return out, changed, size, nbrs
+
+
+@jax.jit
+def _partial_dense_step(graph: VGLGraph, weights_in, dist_g, changed_g):
+    """Dense relax restricted to messages from changed sources (GATHER ordering)."""
+    cand = advance_pull(
+        graph, {"d": dist_g}, lambda s, d, w: s["d"] + w, "min",
+        edge_values=weights_in, src_active=changed_g, direction=G)
+    out = jnp.minimum(dist_g, cand)
+    changed = out < dist_g
+    size = jnp.sum(changed, dtype=jnp.int32)
+    return out, changed, size
+
+
+def vgl_dijkstra_partial_active(graph: VGLGraph, weights: EdgeArray,
+                                source_vertex: int,
+                                dense_threshold: float = 0.05,
+                                max_iterations: int = 10_000
+                                ) -> tuple[VertexArray, int]:
+    """Work-frontier Bellman-Ford: only changed vertices relax their edges
+    (reference partial-active variant via GNF on distance change)."""
+    v, e, v_pad = graph.v, graph.e, graph.v_pad
+    sid = int(np.asarray(graph.outgoing.orig_to_sorted[source_vertex]))
+    dist = jnp.full(v_pad, jnp.inf, jnp.float32).at[sid].set(0.0)
+    changed = jnp.zeros(v_pad, bool).at[sid].set(True)
+    size = 1
+    nbrs = int(np.asarray(graph.outgoing.degrees[sid]))
+    state = "sparse"   # ordering: sparse -> SCATTER, dense -> GATHER
+    outdeg_g = common.outdegrees_in(graph, G)
+    iters = 0
+
+    while size > 0 and iters < max_iterations:
+        want_dense = size > dense_threshold * v
+        if state == "sparse" and want_dense:
+            dist = common.to_direction(graph, dist, S, G)
+            changed = common.to_direction(graph, changed, S, G)
+            state = "dense"
+        elif state == "dense" and not want_dense:
+            dist = common.to_direction(graph, dist, G, S)
+            changed = common.to_direction(graph, changed, G, S)
+            state = "sparse"
+
+        if state == "sparse":
+            cap = min(common.next_pow2(max(size, 8)), v_pad)
+            ecap = min(common.next_pow2(max(nbrs, 8)), max(e, 8))
+            fr = Frontier(mask=changed, size=jnp.int32(size),
+                          neighbours_count=jnp.int32(nbrs), direction=S)
+            ids, valid = compact_ids(fr, cap)
+            dist, changed, dsize, dnbrs = _partial_push_step(
+                graph, weights.outgoing, dist, ids, valid, ecap)
+            size, nbrs = int(dsize), int(dnbrs)
+        else:
+            dist, changed, dsize = _partial_dense_step(
+                graph, weights.incoming, dist, changed)
+            size = int(dsize)
+            nbrs = int(jnp.sum(jnp.where(changed, outdeg_g, 0), dtype=jnp.int32))
+        iters += 1
+
+    direction = S if state == "sparse" else G
+    return VertexArray(values=dist, direction=direction), iters
+
+
+def seq_dijkstra(ec, source_vertex: int) -> np.ndarray:
+    """Sequential oracle via SciPy Dijkstra; unreachable = +inf."""
+    import scipy.sparse as sp
+    import scipy.sparse.csgraph as csg
+    v = ec.vertices_count
+    # parallel edges: keep the minimum weight (matches relaxation semantics);
+    # csr_matrix would SUM duplicates, so dedupe first
+    order = np.lexsort((ec.weights, ec.dst_ids, ec.src_ids))
+    s, d, w = ec.src_ids[order], ec.dst_ids[order], ec.weights[order]
+    first = np.ones(len(s), bool)
+    first[1:] = (s[1:] != s[:-1]) | (d[1:] != d[:-1])
+    m = sp.csr_matrix((w[first], (s[first], d[first])), shape=(v, v))
+    dist = csg.dijkstra(m, directed=True, indices=source_vertex)
+    return dist.astype(np.float32)

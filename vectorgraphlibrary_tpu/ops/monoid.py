@@ -66,10 +66,16 @@ def _or_segment(data, seg_ids, num_segments, indices_are_sorted=False):
     if data.dtype == bool:
         return jax.ops.segment_max(data, seg_ids, num_segments,
                                    indices_are_sorted=indices_are_sorted)
-    # int bitmask OR: max is NOT equivalent; decompose via segment_sum of distinct
-    # bits is overkill — use lax scatter with or is unavailable, so fall back to
-    # bool-per-bit only when needed. Current callers (coloring) never hit this path.
-    raise NotImplementedError("segment OR over int bitmasks")
+    # int bitmask OR via segmented associative scan: within a segment the running
+    # OR is monotonically non-decreasing as an integer (bits only get set), so the
+    # per-segment max of the scanned values equals the segment OR.
+    def comb(a, b):
+        va, sa = a
+        vb, sb = b
+        return jnp.where(sa == sb, va | vb, vb), sb
+    scanned, _ = jax.lax.associative_scan(comb, (data, seg_ids))
+    return jax.ops.segment_max(scanned, seg_ids, num_segments,
+                               indices_are_sorted=indices_are_sorted)
 
 
 # logical-or over bool (BFS reachability) / bitwise-or over ints (coloring bitmasks)

@@ -1,0 +1,1 @@
+from . import mesh, edge_shard, collectives, distributed

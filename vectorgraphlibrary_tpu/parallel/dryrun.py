@@ -1,0 +1,52 @@
+"""Multi-chip dry run: compile + execute one full distributed step on tiny shapes.
+
+Invoked by the driver via __graft_entry__.dryrun_multichip(n) with n virtual CPU
+devices to validate the multi-chip sharding path without real chips."""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from ..io import generation
+from .edge_shard import build_sharded_edge_graph
+from .mesh import make_mesh, EDGE_AXIS, VERTEX_AXIS
+from . import distributed as D
+
+
+def run_dryrun(n_devices: int) -> None:
+    devices = jax.devices()[:n_devices]
+    n_v = 2 if n_devices % 2 == 0 and n_devices >= 2 else 1
+    mesh = make_mesh(n_devices // n_v, n_v, devices)
+
+    ec = generation.rmat(scale=8, avg_degree=8, seed=0)
+    g = build_sharded_edge_graph(ec, mesh)
+    v_sh = NamedSharding(mesh, P(VERTEX_AXIS))
+
+    # PageRank step
+    pr_step = D.make_pr_step(g, mesh)
+    ranks = jax.device_put(
+        jnp.where(jnp.arange(g.v_pad) < g.v, 1.0 / g.v, 0.0).astype(jnp.float32),
+        v_sh)
+    ranks = pr_step(g.src, g.dst, g.out_degrees, ranks)
+    assert ranks.shape == (g.v_pad,)
+    s = float(jnp.sum(ranks))
+    assert 0.5 < s < 1.5, s
+
+    # SSSP relax step
+    sssp_step = D.make_sssp_step(g, mesh)
+    dist = jnp.full((g.v_pad,), jnp.inf, jnp.float32).at[0].set(0.0)
+    dist = jax.device_put(dist, v_sh)
+    dist = sssp_step(g.src, g.dst, g.weights, dist)
+    assert bool(jnp.isfinite(dist).any())
+
+    # BFS expansion step
+    bfs_step = D.make_bfs_step(g, mesh)
+    INF = jnp.iinfo(jnp.int32).max
+    levels = jnp.full((g.v_pad,), INF, jnp.int32).at[0].set(1)
+    levels = jax.device_put(levels, v_sh)
+    levels = bfs_step(g.src, g.dst, levels, jnp.int32(1))
+    assert int(jnp.sum(levels != INF)) >= 1
+
+    jax.block_until_ready((ranks, dist, levels))
