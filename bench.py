@@ -16,6 +16,8 @@ BASELINE_MTEPS = 1000.0
 def main():
     import jax
     import jax.numpy as jnp
+    from vectorgraphlibrary_tpu.runtime.cache import enable_persistent_cache
+    enable_persistent_cache()
     from vectorgraphlibrary_tpu.io import generation
     from vectorgraphlibrary_tpu.graph.device import import_graph
     from vectorgraphlibrary_tpu.models import pr

@@ -200,7 +200,9 @@ def _build_tiles(csr: HostDirectedCSR, cfg: VGLConfig) -> None:
         end = min(max(end, row), nonzero)
         rows = end - row
         if rows > 0:
-            rows_pad = _round_up(rows, 8)
+            # narrow buckets (width < 128) are stored flat lane-major on device:
+            # rows_pad must make rows_pad*width a multiple of 128 lanes
+            rows_pad = _round_up(rows, max(128 // width, 8))
             adj, eidx = _slice_rows_to_tile(csr, row, rows, rows_pad, width)
             buckets.append(HostBucket(width=width, row_start=row, rows=rows,
                                       rows_pad=rows_pad, adj=adj, eidx=eidx))

@@ -29,15 +29,31 @@ def _static(*names):
 @jax.tree_util.register_dataclass
 @dataclasses.dataclass(frozen=True)
 class TileBucket:
-    """A dense (rows_pad, width) ELL rectangle of adjacency for a contiguous
-    degree-sorted vertex range [row_start, row_start+rows)."""
+    """A dense ELL rectangle of adjacency for a contiguous degree-sorted vertex
+    range [row_start, row_start+rows).
 
-    adj: jax.Array                  # int32 [rows_pad, width], sentinel = v_pad
-    eidx: jax.Array                 # int32 [rows_pad, width], CSR edge slot
+    Storage layout (the TPU lane-utilization fix for short rows — the analog of
+    the reference VectorExtension's column-major VL-segments):
+    - width >= 128: arrays are (rows_pad, width), one vertex-row per array row;
+    - width < 128 ("flat"): arrays are (rows_pad*width//128, 128) lane-major —
+      consecutive width-slot groups packed along lanes so elementwise work uses
+      all 128 lanes; per-row reductions happen via grouped lane reduction
+      (matmul against a group-sum matrix / log2(width) lane rolls)."""
+
+    adj: jax.Array                  # int32, sentinel = v_pad
+    eidx: jax.Array                 # int32, CSR edge slot
     width: int = dataclasses.field(metadata=dict(static=True), default=0)
     row_start: int = dataclasses.field(metadata=dict(static=True), default=0)
     rows: int = dataclasses.field(metadata=dict(static=True), default=0)
     rows_pad: int = dataclasses.field(metadata=dict(static=True), default=0)
+
+    @property
+    def flat(self) -> bool:
+        return self.width < 128
+
+    @property
+    def slots(self) -> int:
+        return self.rows_pad * self.width
 
 
 @jax.tree_util.register_dataclass
@@ -83,10 +99,16 @@ class DeviceDirectedGraph:
 
 
 def _to_device_directed(h: HostDirectedCSR) -> DeviceDirectedGraph:
+    def _shape(a, width, rows_pad):
+        if width < 128:
+            return a.reshape(rows_pad * width // 128, 128)
+        return a
     buckets = tuple(
-        TileBucket(adj=jnp.asarray(b.adj, jnp.int32),
-                   eidx=jnp.asarray(np.minimum(b.eidx, np.int64(2**31 - 1)),
-                                    jnp.int32),
+        TileBucket(adj=jnp.asarray(_shape(b.adj, b.width, b.rows_pad),
+                                   jnp.int32),
+                   eidx=jnp.asarray(_shape(
+                       np.minimum(b.eidx, np.int64(2**31 - 1)),
+                       b.width, b.rows_pad), jnp.int32),
                    width=b.width, row_start=b.row_start, rows=b.rows,
                    rows_pad=b.rows_pad)
         for b in h.buckets)

@@ -1,0 +1,109 @@
+"""Binary persistence for preprocessed graphs.
+
+Capability match for the reference's per-format binary save/load
+(`save_main_content_to_binary_file`, vect_csr_graph.h:90-92; extensions
+.vgl/.vcsr/.el, framework_types.h:85-100): the expensive import pipeline —
+degree sort, tiling, Beneš route computation — runs once, then the whole device
+graph round-trips through one .npz file.
+"""
+from __future__ import annotations
+
+import numpy as np
+import jax.numpy as jnp
+
+from ..config import GraphFormat
+from .device import (DeviceDirectedGraph, HugeTile, TileBucket, VGLGraph)
+from ..ops.route import RoutePlan
+
+
+def _pack_directed(prefix: str, dg: DeviceDirectedGraph, out: dict) -> None:
+    out[f"{prefix}.row_ptr"] = np.asarray(dg.row_ptr)
+    out[f"{prefix}.col_idx"] = np.asarray(dg.col_idx)
+    out[f"{prefix}.degrees"] = np.asarray(dg.degrees)
+    out[f"{prefix}.sorted_to_orig"] = np.asarray(dg.sorted_to_orig)
+    out[f"{prefix}.orig_to_sorted"] = np.asarray(dg.orig_to_sorted)
+    out[f"{prefix}.meta"] = np.asarray([dg.v, dg.v_pad, dg.e, dg.e_pad,
+                                        len(dg.buckets),
+                                        1 if dg.huge is not None else 0])
+    for i, b in enumerate(dg.buckets):
+        out[f"{prefix}.b{i}.adj"] = np.asarray(b.adj)
+        out[f"{prefix}.b{i}.eidx"] = np.asarray(b.eidx)
+        out[f"{prefix}.b{i}.meta"] = np.asarray(
+            [b.width, b.row_start, b.rows, b.rows_pad])
+    if dg.huge is not None:
+        h = dg.huge
+        out[f"{prefix}.huge.adj"] = np.asarray(h.adj)
+        out[f"{prefix}.huge.eidx"] = np.asarray(h.eidx)
+        out[f"{prefix}.huge.seg_ids"] = np.asarray(h.seg_ids)
+        out[f"{prefix}.huge.meta"] = np.asarray(
+            [h.chunk_w, h.n_rows, h.n_chunks, h.n_chunks_pad])
+
+
+def _unpack_directed(prefix: str, z) -> DeviceDirectedGraph:
+    v, v_pad, e, e_pad, nb, has_huge = z[f"{prefix}.meta"].tolist()
+    buckets = []
+    for i in range(nb):
+        w, rs, r, rp = z[f"{prefix}.b{i}.meta"].tolist()
+        buckets.append(TileBucket(
+            adj=jnp.asarray(z[f"{prefix}.b{i}.adj"]),
+            eidx=jnp.asarray(z[f"{prefix}.b{i}.eidx"]),
+            width=w, row_start=rs, rows=r, rows_pad=rp))
+    huge = None
+    if has_huge:
+        cw, nr, nc, ncp = z[f"{prefix}.huge.meta"].tolist()
+        huge = HugeTile(adj=jnp.asarray(z[f"{prefix}.huge.adj"]),
+                        eidx=jnp.asarray(z[f"{prefix}.huge.eidx"]),
+                        seg_ids=jnp.asarray(z[f"{prefix}.huge.seg_ids"]),
+                        chunk_w=cw, n_rows=nr, n_chunks=nc, n_chunks_pad=ncp)
+    return DeviceDirectedGraph(
+        row_ptr=jnp.asarray(z[f"{prefix}.row_ptr"]),
+        col_idx=jnp.asarray(z[f"{prefix}.col_idx"]),
+        degrees=jnp.asarray(z[f"{prefix}.degrees"]),
+        sorted_to_orig=jnp.asarray(z[f"{prefix}.sorted_to_orig"]),
+        orig_to_sorted=jnp.asarray(z[f"{prefix}.orig_to_sorted"]),
+        buckets=tuple(buckets), huge=huge,
+        v=v, v_pad=v_pad, e=e, e_pad=e_pad)
+
+
+def _pack_route(prefix: str, plan, out: dict) -> None:
+    out[f"{prefix}.in_masks"] = np.asarray(plan.in_masks)
+    out[f"{prefix}.out_masks"] = np.asarray(plan.out_masks)
+    out[f"{prefix}.lane_idx"] = np.asarray(plan.lane_idx)
+    out[f"{prefix}.lane_inv"] = np.asarray(plan.lane_inv)
+    out[f"{prefix}.meta"] = np.asarray([plan.n, plan.levels])
+
+
+def _unpack_route(prefix: str, z):
+    n, levels = z[f"{prefix}.meta"].tolist()
+    return RoutePlan(in_masks=jnp.asarray(z[f"{prefix}.in_masks"]),
+                     out_masks=jnp.asarray(z[f"{prefix}.out_masks"]),
+                     lane_idx=jnp.asarray(z[f"{prefix}.lane_idx"]),
+                     lane_inv=jnp.asarray(z[f"{prefix}.lane_inv"]),
+                     n=n, levels=levels)
+
+
+def save_graph_to_binary_file(graph: VGLGraph, path: str) -> None:
+    out = {}
+    _pack_directed("out", graph.outgoing, out)
+    _pack_directed("in", graph.incoming, out)
+    out["meta"] = np.asarray([graph.v, graph.v_pad, graph.e, graph.out_slots,
+                              graph.in_slots])
+    out["format"] = np.asarray([graph.graph_format.value], dtype="U16")
+    if graph.advance_route is not None:
+        _pack_route("route", graph.advance_route, out)
+    if graph.vertex_route_s_from_g is not None:
+        _pack_route("vroute", graph.vertex_route_s_from_g, out)
+    np.savez_compressed(path, **out)
+
+
+def load_graph_from_binary_file(path: str) -> VGLGraph:
+    z = np.load(path)
+    v, v_pad, e, out_slots, in_slots = z["meta"].tolist()
+    route = _unpack_route("route", z) if "route.meta" in z else None
+    vroute = _unpack_route("vroute", z) if "vroute.meta" in z else None
+    return VGLGraph(
+        outgoing=_unpack_directed("out", z),
+        incoming=_unpack_directed("in", z),
+        advance_route=route, vertex_route_s_from_g=vroute,
+        v=v, v_pad=v_pad, e=e, out_slots=out_slots, in_slots=in_slots,
+        graph_format=GraphFormat.parse(str(z["format"][0])))

@@ -29,14 +29,14 @@ O = TraversalDirection.ORIGINAL
 UNCOLORED = jnp.int32(-1)
 
 
-@functools.partial(jax.jit, static_argnums=(1, 2))
-def _coloring_run(graph: VGLGraph, words: int, max_rounds: int):
+@functools.partial(jax.jit, static_argnums=(2, 3))
+def _coloring_run(graph: VGLGraph, prio: jax.Array, words: int,
+                  max_rounds: int):
+    """prio must be a random permutation: Jones-Plassmann with degree-correlated
+    priorities serializes into O(V)-long coloring chains on power-law graphs."""
     v, v_pad = graph.v, graph.v_pad
     ids = jnp.arange(v_pad, dtype=jnp.int32)
     real = ids < v
-    # priority: higher out+in degree first == lower outgoing-sorted id
-    prio = jnp.take(graph.outgoing.orig_to_sorted,
-                    jnp.minimum(ids, v_pad - 1), mode="clip")
     colors0 = jnp.where(real, UNCOLORED, jnp.int32(0))
 
     def banned_word(colors, w):
@@ -57,7 +57,10 @@ def _coloring_run(graph: VGLGraph, words: int, max_rounds: int):
             return jnp.where(s["c"] == UNCOLORED, s["p"], jnp.int32(2**31 - 1))
         nb_best = common.undirected_pull(
             graph, {"c": colors, "p": prio}, prio_op, "min")
-        winner = uncolored & (prio < nb_best)
+        # <= not <: a self-loop makes a vertex its own uncolored neighbor, so
+        # nb_best == prio there; priorities are a permutation, so cross-vertex
+        # equality cannot occur and <= stays race-free
+        winner = uncolored & (prio <= nb_best)
 
         # smallest free color across words
         cand = jnp.full(v_pad, jnp.int32(words * 32), jnp.int32)
@@ -72,26 +75,35 @@ def _coloring_run(graph: VGLGraph, words: int, max_rounds: int):
             word_cand = jnp.where(has_free, 32 * w + pos, jnp.int32(words * 32))
             cand = jnp.minimum(cand, word_cand)
 
+        # a winner whose whole 32*words window is banned must STAY uncolored
+        # (the caller retries with a doubled window); assigning the out-of-window
+        # sentinel would silently produce an invalid coloring
+        winner = winner & (cand < words * 32)
         colors_new = jnp.where(winner, cand, colors)
-        remaining = jnp.sum((colors_new == UNCOLORED) & real, dtype=jnp.int32)
-        return colors_new, rnd + 1, remaining
+        changed = jnp.sum(winner, dtype=jnp.int32)
+        return colors_new, rnd + 1, changed
 
     def cond(state):
-        _, rnd, remaining = state
-        return (rnd < max_rounds) & (remaining > 0)
+        _, rnd, changed = state
+        return (rnd < max_rounds) & (changed > 0)
 
-    colors, rounds, remaining = jax.lax.while_loop(
-        cond, round_body, (colors0, jnp.int32(0), jnp.int32(v)))
+    colors, rounds, _ = jax.lax.while_loop(
+        cond, round_body, (colors0, jnp.int32(0), jnp.int32(1)))
+    remaining = jnp.sum((colors == UNCOLORED) & real, dtype=jnp.int32)
     return colors, rounds, remaining
 
 
 def vgl_coloring(graph: VGLGraph, max_colors: int = 64,
-                 max_rounds: int = 10_000) -> tuple[VertexArray, int]:
+                 max_rounds: int = 1000, seed: int = 0
+                 ) -> tuple[VertexArray, int]:
+    import numpy as np
+    rng = np.random.default_rng(seed)
+    prio = jnp.asarray(rng.permutation(graph.v_pad).astype(np.int32))
     words = max(1, (max_colors + 31) // 32)
-    colors, rounds, remaining = _coloring_run(graph, words, max_rounds)
+    colors, rounds, remaining = _coloring_run(graph, prio, words, max_rounds)
     if int(remaining) > 0:
         # color window too small for this graph — double and retry
-        return vgl_coloring(graph, max_colors * 2, max_rounds)
+        return vgl_coloring(graph, max_colors * 2, max_rounds, seed)
     return VertexArray(values=colors, direction=O), int(rounds)
 
 

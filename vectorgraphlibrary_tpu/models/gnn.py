@@ -47,11 +47,24 @@ def aggregate_mean(graph: VGLGraph, feats: jax.Array,
         parts.append(rsum / jnp.maximum(rcnt, 1)[:, None])
         covered = h.n_rows
     for b in dg.buckets:
-        gathered = jnp.take(feats, b.adj, axis=0, mode="clip")  # [rp, W, F]
-        valid = (b.adj < v_pad)[:, :, None]
-        ssum = jnp.sum(jnp.where(valid, gathered, 0.0), axis=1)
-        cnt = jnp.maximum(jnp.sum(valid[:, :, 0], axis=1), 1)
-        parts.append((ssum / cnt[:, None])[:b.rows])
+        if b.flat:
+            # lane-major narrow bucket: grouped sums via einsum against the 0/1
+            # group matrix (MXU), no relayout
+            from ..ops.tiles import _group_matrix
+            gathered = jnp.take(feats, b.adj, axis=0, mode="clip")  # [m,128,F]
+            valid = (b.adj < v_pad)
+            masked = jnp.where(valid[:, :, None], gathered, 0.0)
+            S = _group_matrix(b.width)                               # [128,G]
+            ssum = jnp.einsum("mlf,lg->mgf", masked, S).reshape(
+                -1, f)[:b.rows_pad]
+            cnt = jnp.dot(valid.astype(jnp.float32), S).reshape(-1)[:b.rows_pad]
+            parts.append((ssum / jnp.maximum(cnt, 1)[:, None])[:b.rows])
+        else:
+            gathered = jnp.take(feats, b.adj, axis=0, mode="clip")  # [rp, W, F]
+            valid = (b.adj < v_pad)[:, :, None]
+            ssum = jnp.sum(jnp.where(valid, gathered, 0.0), axis=1)
+            cnt = jnp.maximum(jnp.sum(valid[:, :, 0], axis=1), 1)
+            parts.append((ssum / cnt[:, None])[:b.rows])
         covered = b.row_start + b.rows
     if covered < v_pad:
         parts.append(jnp.zeros((v_pad - covered, f), feats.dtype))

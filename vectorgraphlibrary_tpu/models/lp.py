@@ -68,8 +68,9 @@ def _lp_step(graph: VGLGraph, labels_g: jax.Array):
         parts.append(jnp.where(got < _BIG, got, fallback))
         covered = h.n_rows
     for b in dg.buckets:
-        vals = jnp.take(labels_g, b.adj, mode="clip")
-        vals = jnp.where(b.adj < v_pad, vals, _BIG)
+        adj = b.adj.reshape(b.rows_pad, b.width) if b.flat else b.adj
+        vals = jnp.take(labels_g, adj, mode="clip")
+        vals = jnp.where(adj < v_pad, vals, _BIG)
         srt = jnp.sort(vals, axis=1)
         fallback = jax.lax.dynamic_slice_in_dim(labels_g, b.row_start, b.rows_pad)
         parts.append(_row_mode(srt, fallback)[:b.rows])

@@ -39,12 +39,17 @@ def _pr_run(graph: VGLGraph, max_iterations: int, use_convergence: bool,
     real = ids < v
     routed = graph.advance_route is not None
 
-    # self-loop counts per vertex: pull over incoming, msg = (src_id == dst_id)
-    loops = advance_pull(
-        graph, {"id": ids},
-        lambda s, d, w: (s["id"] == d["id"]).astype(jnp.int32),
-        "add", dst_arrays={"id": ids}, direction=G)
-    outdeg = common.outdegrees_in(graph, G)
+    # self-loop counts per vertex: one cell pass over incoming tiles
+    from ..ops.advance import advance_cells
+    loops = advance_cells(
+        graph, lambda src_ids, dst_ids, w: (src_ids == dst_ids).astype(jnp.int32),
+        "add", direction=G)
+    if graph.vertex_route_s_from_g is not None:
+        from ..ops.route import apply_route as _ar
+        outdeg = _ar(graph.vertex_route_s_from_g, graph.outgoing.degrees,
+                     inverse=True)
+    else:
+        outdeg = common.outdegrees_in(graph, G)
     outdeg_wo = jnp.where(real, outdeg - loops, 0)
     rev_deg = jnp.where(outdeg_wo > 0, 1.0 / outdeg_wo.astype(jnp.float32), 0.0)
     dangling_mask = real & (outdeg_wo == 0)
@@ -64,9 +69,9 @@ def _pr_run(graph: VGLGraph, max_iterations: int, use_convergence: bool,
             ranks_s = apply_route(graph.vertex_route_s_from_g, ranks)
             acc = advance_pull_routed(
                 graph, ranks_s * rev_deg_s,
-                lambda vals, src_ids, d, w: jnp.where(
-                    src_ids == d["id"], 0.0, vals),
-                "add", dst_arrays={"id": ids}, direction=G)
+                lambda vals, src_ids, dst_ids, w: jnp.where(
+                    src_ids == dst_ids, 0.0, vals),
+                "add", direction=G)
         else:
             contrib = ranks * rev_deg
             acc = advance_pull(

@@ -3,18 +3,20 @@
 TPU-native re-design of the reference's scatter/gather advance
 (`vgl_compute_api/common/advance.hpp:6-232` dispatching into the 9-kernel NEC worker
 `nec/advance_worker.hpp:219-361`). The kernel-per-degree-class structure survives —
-huge rows (vector-engine analog), ELL buckets (vector-core / collective analog) — but
-each kernel is a dense gather + masked reduction that XLA fuses into one pass over the
-tile, and push with a conflicting combine becomes either (a) a pull over the
-transposed container or (b) a compacted-frontier ragged-expand + functional
-scatter-combine (`.at[].min/add`), replacing `vovertake/novob` vector stores and
-`enable_safe_stores` (`nec/graph_abstractions_nec.h:332-333`).
+huge rows (vector-engine analog), wide ELL buckets, and flat lane-major narrow
+buckets (the VectorExtension analog; see graph/device.py TileBucket) — and push with
+a conflicting combine becomes either (a) a pull over the transposed container or
+(b) a compacted-frontier ragged-expand + functional scatter-combine, replacing
+`vovertake/novob` vector stores and `enable_safe_stores`
+(`nec/graph_abstractions_nec.h:332-333`).
 
-Edge-op programming model: instead of per-edge C++ lambdas with fixed macro signatures
-(`architecture_independent_api.h:3-31`), the user provides
-``edge_op(src_vals, dst_vals, weight) -> message`` operating on whole tiles (pytrees
-of [rows, width] arrays), plus a combine monoid. Everything is shape-static and
-jit-compatible.
+Three execution strategies:
+- advance_pull: gather-based (general, XLA element gathers — slow on TPU, used for
+  one-shot/prologue computations and as the differential-testing reference);
+- advance_pull_routed: gather-FREE hot path — broadcast per-source messages over
+  the source tiles, Beneš-route them into destination slot order (ops/route.py),
+  masked grouped row-reduction. ~100x the gather path on TPU;
+- advance_push_sparse: work-efficient compacted-frontier expansion + scatter.
 """
 from __future__ import annotations
 
@@ -28,9 +30,11 @@ from ..config import TraversalDirection
 from ..graph.device import DeviceDirectedGraph, VGLGraph
 from ..graph.edges import DirectedEdgeValues
 from . import monoid as M
+from . import tiles as T
 
-# edge_op(src_vals: Dict[str, Array[rows, W]], dst_vals: Dict[str, Array[rows, 1]],
-#         w: Optional[Array[rows, W]]) -> Array[rows, W]
+# gather-path edge_op(src_vals: Dict[str, Array[rows, W]],
+#                     dst_vals: Dict[str, Array[rows, 1]],
+#                     w: Optional[Array[rows, W]]) -> Array[rows, W]
 EdgeOp = Callable
 
 
@@ -44,6 +48,12 @@ def _dst_slice(arrs: Dict[str, jax.Array], start: int, rows_pad: int
             for k, a in arrs.items()}
 
 
+def _assemble(parts, covered, v_pad, ident, dtype):
+    if covered < v_pad:
+        parts.append(jnp.full((v_pad - covered,), ident, dtype=dtype))
+    return jnp.concatenate(parts) if len(parts) > 1 else parts[0]
+
+
 def advance_pull(graph: VGLGraph,
                  src_arrays: Dict[str, jax.Array],
                  edge_op: EdgeOp,
@@ -53,14 +63,10 @@ def advance_pull(graph: VGLGraph,
                  src_active: Optional[jax.Array] = None,
                  direction: TraversalDirection = TraversalDirection.GATHER,
                  out_dtype=None) -> jax.Array:
-    """Aggregate messages over incoming edges of every vertex (gather-mode advance,
-    reference common_gather advance.hpp:116-123). Returns [v_pad] in the traversal
-    direction's sorted ordering; zero-degree and padded rows get the monoid identity.
-
-    src_arrays: per-src-vertex inputs, [v_pad]-shaped, same ordering.
-    src_active: optional bool [v_pad] — messages from inactive sources are masked to
-      the identity (this is how a dense push-from-frontier is expressed as a pull).
-    """
+    """Gather-based aggregate over incoming edges of every vertex (gather-mode
+    advance, reference common_gather advance.hpp:116-123). Returns [v_pad] in the
+    traversal direction's sorted ordering; zero-degree/padded rows get the monoid
+    identity. src_arrays: per-src-vertex inputs, [v_pad], same ordering."""
     mon = M.get(combine)
     dg = graph.direction(direction)
     dst_arrays = dst_arrays or {}
@@ -78,15 +84,15 @@ def advance_pull(graph: VGLGraph,
     if dg.huge is not None:
         h = dg.huge
         sv = _gather_src(src_arrays, h.adj)
-        dvals = ({k: jnp.take(a, h.seg_ids, mode="clip")[:, None]
-                  for k, a in dst_arrays.items()})
+        dvals = {k: jnp.take(a, h.seg_ids, mode="clip")[:, None]
+                 for k, a in dst_arrays.items()}
         w = None if edge_values is None else edge_values.huge_tile
         msg = edge_op(sv, dvals, w).astype(dtype)
         valid = h.adj < dg.v_pad
         if src_active is not None:
             valid = valid & jnp.take(src_active, h.adj, mode="clip")
         msg = jnp.where(valid, msg, ident)
-        chunk_red = mon.reduce_axis(msg, 1)                       # [n_chunks_pad]
+        chunk_red = mon.reduce_axis(msg, 1)
         seg = mon.segment_reduce(chunk_red, h.seg_ids, h.n_rows + 1,
                                  indices_are_sorted=True)
         parts.append(seg[:h.n_rows])
@@ -94,26 +100,32 @@ def advance_pull(graph: VGLGraph,
 
     for i, b in enumerate(dg.buckets):
         sv = _gather_src(src_arrays, b.adj)
-        dvals = _dst_slice(dst_arrays, b.row_start, b.rows_pad)
         w = None if edge_values is None else edge_values.bucket_tiles[i]
+        if b.flat:
+            m = b.slots // 128
+            rowids = T.row_ids_flat(b.row_start, b.width, m)
+            dvals = {k: jnp.take(a, rowids, mode="clip")
+                     for k, a in dst_arrays.items()}
+        else:
+            dvals = _dst_slice(dst_arrays, b.row_start, b.rows_pad)
         msg = edge_op(sv, dvals, w).astype(dtype)
         valid = b.adj < dg.v_pad
         if src_active is not None:
             valid = valid & jnp.take(src_active, b.adj, mode="clip")
         msg = jnp.where(valid, msg, ident)
-        red = mon.reduce_axis(msg, 1)                             # [rows_pad]
-        parts.append(red[:b.rows])
+        if b.flat:
+            parts.append(T.group_reduce_flat(msg, b.width, mon, b.rows))
+        else:
+            parts.append(mon.reduce_axis(msg, 1)[:b.rows])
         covered = b.row_start + b.rows
 
-    if covered < graph.v_pad:
-        parts.append(jnp.full((graph.v_pad - covered,), ident, dtype=dtype))
-    return jnp.concatenate(parts) if len(parts) > 1 else parts[0]
+    return _assemble(parts, covered, graph.v_pad, ident, dtype)
 
 
 def _broadcast_over_tiles(dg: DeviceDirectedGraph, src_vec: jax.Array,
                           total_slots: int, n: int) -> jax.Array:
     """Generate per-edge-slot messages by broadcasting src_vec over the
-    source-side tiles (row identity — NO gather except the tiny huge seg_ids)."""
+    source-side tiles — row identity, no per-element gathers."""
     parts = []
     if dg.huge is not None:
         h = dg.huge
@@ -122,8 +134,12 @@ def _broadcast_over_tiles(dg: DeviceDirectedGraph, src_vec: jax.Array,
                                       (h.n_chunks_pad, h.chunk_w)).ravel())
     for b in dg.buckets:
         rows = jax.lax.dynamic_slice_in_dim(src_vec, b.row_start, b.rows_pad)
-        parts.append(jnp.broadcast_to(rows[:, None],
-                                      (b.rows_pad, b.width)).ravel())
+        if b.flat:
+            parts.append(T.broadcast_rows_flat(rows, b.width,
+                                               b.slots // 128).ravel())
+        else:
+            parts.append(jnp.broadcast_to(rows[:, None],
+                                          (b.rows_pad, b.width)).ravel())
     flat = jnp.concatenate(parts) if parts else jnp.zeros((0,), src_vec.dtype)
     if flat.shape[0] < n:
         flat = jnp.concatenate([
@@ -131,26 +147,23 @@ def _broadcast_over_tiles(dg: DeviceDirectedGraph, src_vec: jax.Array,
     return flat
 
 
+# routed edge_op(vals, src_ids, dst_ids, w) -> msg; all tiles of identical shape
 def advance_pull_routed(graph: VGLGraph,
                         src_vec: jax.Array,
                         edge_op,
                         combine,
-                        dst_arrays: Optional[Dict[str, jax.Array]] = None,
                         edge_values: Optional[DirectedEdgeValues] = None,
                         src_active: Optional[jax.Array] = None,
                         direction: TraversalDirection = TraversalDirection.GATHER,
                         out_dtype=None) -> jax.Array:
     """Gather-free advance: broadcast per-source messages over the source-side
-    tiles, Beneš-route them into destination-tile slot order (ops/route.py), then
-    reduce per destination row. Numerically identical to advance_pull with
-    edge_op(src_vals={'x': ...}) but ~100x faster on TPU (no per-element gathers).
+    tiles, Beneš-route them into destination-tile slot order, reduce per
+    destination row. src_vec is in the SOURCE side's sorted ordering (SCATTER when
+    direction=GATHER and vice versa); the result is in the DESTINATION side's.
 
-    src_vec: [v_pad] per-source value in the SOURCE side's sorted ordering
-      (SCATTER ordering when direction=GATHER, and vice versa).
-    edge_op(routed_vals, src_ids, dst_vals, w) -> msg, all [rows, width] tiles;
-      src_ids is the adjacency tile (destination-side sorted ids of sources).
-    Returns [v_pad] in the DESTINATION side's sorted ordering.
-    """
+    edge_op(vals, src_ids, dst_ids, w): vals = routed per-edge source values;
+    src_ids = adjacency tile (destination-side sorted ids of sources); dst_ids =
+    owning row ids (computed, no gather); w = optional edge values."""
     from .route import apply_route
     mon = M.get(combine)
     assert graph.advance_route is not None, "graph imported without route"
@@ -164,19 +177,22 @@ def advance_pull_routed(graph: VGLGraph,
     n = plan.n
 
     if src_active is not None:
-        # fold frontier masking into the routed value: inactive sources carry the
-        # combine's absorbing value (requires edge_op to preserve it, which holds
-        # for the linear/monotone edge ops used by the algorithms)
+        # inactive sources carry the combine's absorbing value (edge ops used by
+        # the algorithms preserve it: linear in vals for add/or, monotone for
+        # min/max)
         src_vec = jnp.where(src_active, src_vec,
                             jnp.array(_mask_value(mon, src_vec.dtype),
                                       src_vec.dtype))
 
     msgs = _broadcast_over_tiles(src_dg, src_vec, 0, n)
     routed = apply_route(plan, msgs, inverse=inverse)
+    # materialize: the routed array feeds one slice per destination tile; without
+    # a barrier XLA re-fuses (re-computes) the whole exchange chain into every
+    # consumer (measured 5x slowdown)
+    routed = jax.lax.optimization_barrier(routed)
 
-    dst_arrays = dst_arrays or {}
-    probe = edge_op(routed[:1, None], dst_dg.col_idx[:1][:, None],
-                    {k: v[:1, None] for k, v in dst_arrays.items()},
+    probe = edge_op(routed[:1][:, None], dst_dg.col_idx[:1][:, None],
+                    dst_dg.col_idx[:1][:, None],
                     None if edge_values is None
                     else edge_values.flat[:1][:, None])
     dtype = out_dtype or probe.dtype
@@ -191,32 +207,85 @@ def advance_pull_routed(graph: VGLGraph,
         vals = jax.lax.dynamic_slice_in_dim(routed, offset, size).reshape(
             h.n_chunks_pad, h.chunk_w)
         offset += size
-        dvals = {k: jnp.take(a, h.seg_ids, mode="clip")[:, None]
-                 for k, a in dst_arrays.items()}
+        dst_ids = jnp.broadcast_to(h.seg_ids[:, None],
+                                   (h.n_chunks_pad, h.chunk_w))
         w = None if edge_values is None else edge_values.huge_tile
-        msg = edge_op(vals, h.adj, dvals, w).astype(dtype)
-        valid = h.adj < dst_dg.v_pad
-        msg = jnp.where(valid, msg, ident)
+        msg = edge_op(vals, h.adj, dst_ids, w).astype(dtype)
+        msg = jnp.where(h.adj < dst_dg.v_pad, msg, ident)
         chunk_red = mon.reduce_axis(msg, 1)
         seg = mon.segment_reduce(chunk_red, h.seg_ids, h.n_rows + 1,
                                  indices_are_sorted=True)
         parts.append(seg[:h.n_rows])
         covered = h.n_rows
     for i, b in enumerate(dst_dg.buckets):
-        size = b.rows_pad * b.width
+        size = b.slots
         vals = jax.lax.dynamic_slice_in_dim(routed, offset, size).reshape(
-            b.rows_pad, b.width)
+            b.adj.shape)
         offset += size
-        dvals = _dst_slice(dst_arrays, b.row_start, b.rows_pad)
         w = None if edge_values is None else edge_values.bucket_tiles[i]
-        msg = edge_op(vals, b.adj, dvals, w).astype(dtype)
-        valid = b.adj < dst_dg.v_pad
-        msg = jnp.where(valid, msg, ident)
-        parts.append(mon.reduce_axis(msg, 1)[:b.rows])
+        if b.flat:
+            m = size // 128
+            dst_ids = T.row_ids_flat(b.row_start, b.width, m)
+        else:
+            dst_ids = b.row_start + jnp.broadcast_to(
+                jax.lax.broadcasted_iota(jnp.int32, (b.rows_pad, 1), 0),
+                (b.rows_pad, b.width))
+        msg = edge_op(vals, b.adj, dst_ids, w).astype(dtype)
+        msg = jnp.where(b.adj < dst_dg.v_pad, msg, ident)
+        if b.flat:
+            parts.append(T.group_reduce_flat(msg, b.width, mon, b.rows))
+        else:
+            parts.append(mon.reduce_axis(msg, 1)[:b.rows])
         covered = b.row_start + b.rows
-    if covered < graph.v_pad:
-        parts.append(jnp.full((graph.v_pad - covered,), ident, dtype=dtype))
-    return jnp.concatenate(parts) if len(parts) > 1 else parts[0]
+    return _assemble(parts, covered, graph.v_pad, ident, dtype)
+
+
+def advance_cells(graph: VGLGraph,
+                  cell_op,
+                  combine,
+                  edge_values: Optional[DirectedEdgeValues] = None,
+                  direction: TraversalDirection = TraversalDirection.GATHER,
+                  out_dtype=None) -> jax.Array:
+    """Per-destination reduction over adjacency cells WITHOUT source values:
+    msg = cell_op(src_ids, dst_ids, w). One pass over the tiles — for structural
+    quantities (self-loop counts, filtered degrees)."""
+    mon = M.get(combine)
+    dg = graph.direction(direction)
+    probe = cell_op(dg.col_idx[:1][:, None], dg.col_idx[:1][:, None],
+                    None if edge_values is None
+                    else edge_values.flat[:1][:, None])
+    dtype = out_dtype or probe.dtype
+    ident = mon.identity(dtype)
+    parts = []
+    covered = 0
+    if dg.huge is not None:
+        h = dg.huge
+        dst_ids = jnp.broadcast_to(h.seg_ids[:, None],
+                                   (h.n_chunks_pad, h.chunk_w))
+        w = None if edge_values is None else edge_values.huge_tile
+        msg = cell_op(h.adj, dst_ids, w).astype(dtype)
+        msg = jnp.where(h.adj < dg.v_pad, msg, ident)
+        chunk_red = mon.reduce_axis(msg, 1)
+        seg = mon.segment_reduce(chunk_red, h.seg_ids, h.n_rows + 1,
+                                 indices_are_sorted=True)
+        parts.append(seg[:h.n_rows])
+        covered = h.n_rows
+    for i, b in enumerate(dg.buckets):
+        w = None if edge_values is None else edge_values.bucket_tiles[i]
+        if b.flat:
+            dst_ids = T.row_ids_flat(b.row_start, b.width, b.slots // 128)
+        else:
+            dst_ids = b.row_start + jnp.broadcast_to(
+                jax.lax.broadcasted_iota(jnp.int32, (b.rows_pad, 1), 0),
+                (b.rows_pad, b.width))
+        msg = cell_op(b.adj, dst_ids, w).astype(dtype)
+        msg = jnp.where(b.adj < dg.v_pad, msg, ident)
+        if b.flat:
+            parts.append(T.group_reduce_flat(msg, b.width, mon, b.rows))
+        else:
+            parts.append(mon.reduce_axis(msg, 1)[:b.rows])
+        covered = b.row_start + b.rows
+    return _assemble(parts, covered, graph.v_pad, ident, dtype)
 
 
 def _mask_value(mon, dtype):
@@ -247,9 +316,7 @@ def advance_push_sparse(graph: VGLGraph,
 
     Expands the frontier's ragged adjacency into a flat padded edge list of static
     size ``edge_capacity`` (cumsum + searchsorted), gathers messages edge-parallel,
-    and scatter-combines into ``out`` ([v_pad], same ordering). Deterministic for
-    min/max; add uses XLA scatter-add (unique-indices=False).
-    """
+    and scatter-combines into ``out`` ([v_pad], same ordering)."""
     mon = M.get(combine)
     dg = graph.direction(direction)
     cap = frontier_ids.shape[0]
@@ -261,7 +328,6 @@ def advance_push_sparse(graph: VGLGraph,
     total = ends[-1] if cap > 0 else jnp.int32(0)
 
     pos = jnp.arange(edge_capacity, dtype=jnp.int32)
-    # owner frontier slot per edge position: first slot whose cumulative end > pos
     owner = jnp.searchsorted(ends, pos, side="right").astype(jnp.int32)
     owner_c = jnp.minimum(owner, cap - 1)
     evalid = pos < total

@@ -66,15 +66,20 @@ def _or_segment(data, seg_ids, num_segments, indices_are_sorted=False):
     if data.dtype == bool:
         return jax.ops.segment_max(data, seg_ids, num_segments,
                                    indices_are_sorted=indices_are_sorted)
-    # int bitmask OR via segmented associative scan: within a segment the running
-    # OR is monotonically non-decreasing as an integer (bits only get set), so the
-    # per-segment max of the scanned values equals the segment OR.
-    def comb(a, b):
-        va, sa = a
-        vb, sb = b
-        return jnp.where(sa == sb, va | vb, vb), sb
-    scanned, _ = jax.lax.associative_scan(comb, (data, seg_ids))
-    return jax.ops.segment_max(scanned, seg_ids, num_segments,
+    # int bitmask OR over sorted segments via shift-doubling segmented scan:
+    # after log2(n) steps every element holds the OR of its segment prefix; the
+    # running OR only sets bits, so it is integer-monotone and segment_max
+    # recovers the full segment OR. Leaner to compile than associative_scan.
+    n = data.shape[0]
+    x = data
+    s = 1
+    while s < n:
+        shifted = jnp.concatenate([jnp.zeros((s,), x.dtype), x[:-s]])
+        same = jnp.concatenate([
+            jnp.zeros((s,), seg_ids.dtype) - 1, seg_ids[:-s]]) == seg_ids
+        x = jnp.where(same, x | shifted, x)
+        s *= 2
+    return jax.ops.segment_max(x, seg_ids, num_segments,
                                indices_are_sorted=indices_are_sorted)
 
 

@@ -1,0 +1,84 @@
+"""Tile-layout helpers for narrow (flat lane-major) buckets.
+
+Narrow ELL rows (width < 128) stored one-per-array-row waste up to 127/128 of the
+VPU lanes and force slow lane relayouts. Flat buckets pack 128/width vertex-rows
+per 128-lane array row; these helpers do the per-row (grouped) reductions and
+broadcasts without relayouts:
+- grouped sum  = one MXU matmul against a 0/1 group matrix;
+- grouped min/max/or = log2(width) lane rolls + a strided lane selection;
+- row broadcast = matmul against the transposed group matrix.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from . import monoid as M
+
+
+@functools.lru_cache(maxsize=None)
+def _group_matrix_np(width: int) -> np.ndarray:
+    return (np.arange(128)[:, None] // width ==
+            np.arange(128 // width)[None, :]).astype(np.float32)
+
+
+def _group_matrix(width: int):
+    """S[l, g] = 1 if lane l belongs to group g (128/width groups). Only the
+    NumPy array is cached — caching a jnp constant would leak tracers."""
+    return jnp.asarray(_group_matrix_np(width))
+
+
+def group_reduce_flat(msg2d: jax.Array, width: int, mon, rows: int) -> jax.Array:
+    """(m, 128) lane-major masked messages -> per-vertex-row reduction [rows].
+    Messages must already carry the monoid identity in invalid slots.
+
+    add (float) and or (bool) go through one MXU matmul against the group matrix;
+    other monoids use a lane-dim split + reduce (one relayout, chosen over log2(w)
+    roll chains whose op count blows up XLA compile time)."""
+    m = msg2d.shape[0]
+    if mon.name == "add" and jnp.issubdtype(msg2d.dtype, jnp.floating):
+        red = jnp.dot(msg2d, _group_matrix(width),
+                      preferred_element_type=jnp.float32)
+        return red.reshape(-1)[:rows].astype(msg2d.dtype)
+    if mon.name == "or" and msg2d.dtype == jnp.dtype(bool):
+        red = jnp.dot(msg2d.astype(jnp.float32), _group_matrix(width),
+                      preferred_element_type=jnp.float32)
+        return (red > 0).reshape(-1)[:rows]
+    if mon.name == "add" and jnp.issubdtype(msg2d.dtype, jnp.integer):
+        # exact for |values| < 2^24 per slot and row sums < 2^24
+        red = jnp.dot(msg2d.astype(jnp.float32), _group_matrix(width),
+                      preferred_element_type=jnp.float32)
+        return red.reshape(-1)[:rows].astype(msg2d.dtype)
+    red = mon.reduce_axis(msg2d.reshape(m, 128 // width, width), 2)
+    return red.reshape(-1)[:rows]
+
+
+def broadcast_rows_flat(x_slice: jax.Array, width: int, m: int) -> jax.Array:
+    """[rows_pad] per-vertex values -> (m, 128) lane-major slot values (each
+    vertex-row's value repeated across its width-slot group).
+
+    Uses an f32 matmul: exact for floats, bools, and ints < 2^24 (vertex ids and
+    levels satisfy this for graphs under 16M vertices per shard). Infinities are
+    encoded around the matmul (inf * 0 would poison the row sums with NaN)."""
+    groups = 128 // width
+    x2 = x_slice.reshape(m, groups).astype(jnp.float32)
+    is_float = jnp.issubdtype(x_slice.dtype, jnp.floating)
+    BIG = jnp.float32(1e30)
+    if is_float:
+        x2 = jnp.clip(x2, -BIG, BIG)
+    out = jnp.dot(x2, _group_matrix(width).T,
+                  preferred_element_type=jnp.float32)
+    if is_float:
+        out = jnp.where(out >= BIG, jnp.inf, out)
+        out = jnp.where(out <= -BIG, -jnp.inf, out)
+    return out.astype(x_slice.dtype)
+
+
+def row_ids_flat(row_start: int, width: int, m: int) -> jax.Array:
+    """(m, 128) int32: owning vertex-row id of each lane-major slot."""
+    flat = (jax.lax.broadcasted_iota(jnp.int32, (m, 128), 0) * 128 +
+            jax.lax.broadcasted_iota(jnp.int32, (m, 128), 1))
+    return row_start + flat // width

@@ -60,6 +60,9 @@ def scatter_to_owner(values, global_idx, v_local: int, axis: str = VERTEX_AXIS,
     out-of-range indices drop (they belong to other devices' ranges)."""
     rank = jax.lax.axis_index(axis)
     local = global_idx - rank * v_local
+    # negative indices WRAP in JAX scatter (python indexing semantics); force
+    # out-of-range destinations to an out-of-bounds slot so mode="drop" applies
+    local = jnp.where((local >= 0) & (local < v_local), local, v_local)
     out = (jnp.zeros((v_local,), values.dtype) if init is None else init)
     at = out.at[local]
     if combine == "add":

@@ -24,6 +24,8 @@ def init_library(cfg: VGLConfig) -> None:
     """Device/distributed init + topology banner (reference init.hpp:26-37)."""
     import jax
     from ..parallel.mesh import init_distributed
+    from .cache import enable_persistent_cache
+    enable_persistent_cache()
     init_distributed()
     devs = jax.devices()
     print(f"VGL-TPU init: process {jax.process_index()}/{jax.process_count()}, "
