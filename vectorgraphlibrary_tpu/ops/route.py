@@ -17,7 +17,7 @@ from __future__ import annotations
 
 import dataclasses
 import functools
-from typing import Tuple
+from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -27,19 +27,27 @@ import numpy as np
 @jax.tree_util.register_dataclass
 @dataclasses.dataclass(frozen=True)
 class RoutePlan:
-    """Stage masks are BIT-PACKED (uint8, little-endian within bytes): the
-    host→device link in some deployments is narrow, and packed masks are 8x
-    smaller; the unpack is a shift+and that XLA fuses into the stage select."""
+    """Stage masks come in two encodings:
+    - BIT-PACKED planes (uint8, little-endian within bytes) for the XLA
+      stage-by-stage path (CPU / tiny routes): 8x smaller over narrow
+      host→device links, unpacked by a shift+and fused into the stage select;
+    - WORD-PACKED per-element int32 (one bit per stage) for the fused Pallas
+      path (ops/pallas/route_fused.py): a stage's mask is a shift+and with no
+      cross-lane relayout, and the whole route runs in ≤3 kernels."""
 
     in_masks: jax.Array     # uint8 [levels, n // 8]
     out_masks: jax.Array    # uint8 [levels, n // 8]
     lane_idx: jax.Array     # int32 [n // 128, 128]
     lane_inv: jax.Array     # int32 [n // 128, 128] (inverse shuffle, for inverse)
+    mid_words: Optional[jax.Array] = None   # int32 [n//128, 128]
+    big_words: Optional[jax.Array] = None   # int32 [n//128, 128] (kq > 0 only)
     n: int = dataclasses.field(metadata=dict(static=True), default=0)
     levels: int = dataclasses.field(metadata=dict(static=True), default=0)
+    kb: int = dataclasses.field(metadata=dict(static=True), default=0)
+    kq: int = dataclasses.field(metadata=dict(static=True), default=0)
 
 
-def make_route_plan(perm: np.ndarray) -> RoutePlan:
+def make_route_plan(perm: np.ndarray, fused: bool = True) -> RoutePlan:
     """Host: compute stage masks for y = x[perm] (|perm| = 2^k >= 256)."""
     from .. import native
     in_m, out_m, lane = native.benes_route(perm)
@@ -48,12 +56,22 @@ def make_route_plan(perm: np.ndarray) -> RoutePlan:
     np.put_along_axis(lane_inv, lane2d,
                       np.broadcast_to(np.arange(128, dtype=np.int32),
                                       lane2d.shape), axis=1)
+    n = len(perm)
+    mid_words = big_words = None
+    kb = kq = 0
+    if fused and n >= 1024:                      # fused needs >= 8 rows of 128
+        from .pallas.route_fused import build_word_masks, split_levels
+        kb, kq = split_levels(n)
+        mid_np, big_np = build_word_masks(in_m, out_m, n)
+        mid_words = jnp.asarray(mid_np)
+        big_words = None if big_np is None else jnp.asarray(big_np)
     return RoutePlan(
         in_masks=jnp.asarray(np.packbits(in_m, axis=1, bitorder="little")),
         out_masks=jnp.asarray(np.packbits(out_m, axis=1, bitorder="little")),
         lane_idx=jnp.asarray(lane2d),
         lane_inv=jnp.asarray(lane_inv),
-        n=len(perm), levels=in_m.shape[0])
+        mid_words=mid_words, big_words=big_words,
+        n=n, levels=in_m.shape[0], kb=kb, kq=kq)
 
 
 def _unpack_bits(packed: jax.Array, n: int) -> jax.Array:
@@ -105,8 +123,15 @@ def apply_route(plan: RoutePlan, x: jax.Array, inverse: bool = False
 
     The inverse runs the (involutive) exchange stages in reverse order with the
     inverse lane shuffle — this is how pull-over-outgoing reuses the same plan.
+
+    Dispatch: fused Pallas path (3 kernels, one HBM round-trip each) on TPU
+    when the plan carries word-packed masks; stage-by-stage XLA path otherwise.
     """
     assert x.shape[0] == plan.n, (x.shape, plan.n)
+    if plan.mid_words is not None:
+        from .pallas import route_fused
+        if jax.default_backend() in ("tpu", "axon") or route_fused._INTERPRET:
+            return route_fused.apply_route_fused(plan, x, inverse=inverse)
     k = plan.n.bit_length() - 1
     if not inverse:
         for lev in range(plan.levels):
