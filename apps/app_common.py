@@ -28,18 +28,30 @@ def run_app(app_name: str, run_round, check_round=None, need_weights: bool = Fal
     ec, graph, weights = runtime.prepare_graph(cfg, need_weights=need_weights)
     print(f"graph: |V|={graph.v} |E|={graph.e} format={cfg.graph_format.value}")
 
+    # one untimed warmup round: TPU jit compilation (20-40s) would otherwise
+    # land in the first measured round and dominate AVG_PERF
+    warm_source = common.select_random_source(ec, seed=cfg.seed) \
+        if needs_source else None
+    jax.block_until_ready(run_round(ec, graph, weights, warm_source, cfg))
+
+    from vectorgraphlibrary_tpu.runtime import profiling
+
     runtime.start_measuring_stats()
     total_errors = 0
-    for it in range(cfg.iterations):
-        source = common.select_random_source(ec, seed=cfg.seed + it) \
-            if needs_source else None
-        t0 = time.perf_counter()
-        result = run_round(ec, graph, weights, source, cfg)
-        jax.block_until_ready(result)
-        dt = time.perf_counter() - t0
-        performance_stats.save_algorithm_performance_stats(app_name, dt, graph.e)
-        if cfg.check and check_round is not None:
-            total_errors += check_round(ec, graph, weights, source, result, cfg)
+    with profiling.trace(profiling.trace_dir_from_env()):
+        for it in range(cfg.iterations):
+            source = common.select_random_source(ec, seed=cfg.seed + it) \
+                if needs_source else None
+            t0 = time.perf_counter()
+            with profiling.step_annotate(app_name, it):
+                result = run_round(ec, graph, weights, source, cfg)
+                jax.block_until_ready(result)
+            dt = time.perf_counter() - t0
+            performance_stats.save_algorithm_performance_stats(
+                app_name, dt, graph.e)
+            if cfg.check and check_round is not None:
+                total_errors += check_round(ec, graph, weights, source, result,
+                                            cfg)
     runtime.stop_measuring_stats()
     runtime.report_performance(app_name)
     runtime.finalize_library()

@@ -7,8 +7,15 @@ from vectorgraphlibrary_tpu.models import pr
 from vectorgraphlibrary_tpu.utils import verify
 
 
+# fixed iteration count on BOTH the device run and the oracle: the device
+# convergence test runs in f32 and the oracle's in f64, so convergence-mode
+# runs stop at different iterations and fail the ranking check spuriously
+_PR_ITERS = 100
+
+
 def run_round(ec, graph, weights, source, cfg):
-    ranks, _ = pr.vgl_page_rank(graph, max_iterations=100)
+    ranks, _ = pr.vgl_page_rank(graph, max_iterations=_PR_ITERS,
+                                use_convergence=False)
     return ranks.values
 
 
@@ -16,7 +23,7 @@ def check_round(ec, graph, weights, source, result, cfg):
     from vectorgraphlibrary_tpu.config import TraversalDirection
     arr = vgl.VertexArray(values=result, direction=TraversalDirection.GATHER)
     got = vgl.as_original_numpy(arr, graph)
-    want = pr.seq_page_rank(ec, max_iterations=100)
+    want = pr.seq_page_rank(ec, max_iterations=_PR_ITERS, use_convergence=False)
     return verify.verify_ranking_results(got, want)
 
 

@@ -23,7 +23,8 @@ import time
 HERE = os.path.dirname(os.path.abspath(__file__))
 REPO = os.path.dirname(HERE)
 
-APPS = ["bfs", "pr", "sssp", "cc", "sswp", "hits", "coloring"]
+APPS = ["bfs", "pr", "sssp", "cc", "sswp", "hits", "coloring",
+        "scc", "lp", "rw", "tc", "mf"]
 # graph corpus tiers (reference settings.py:90-157)
 TIERS = {
     "tiny": [("rmat", 12, 16), ("ru", 12, 16)],
