@@ -144,10 +144,14 @@ class VGLGraph:
     outgoing: DeviceDirectedGraph
     incoming: DeviceDirectedGraph
     advance_route: object = None            # Optional[RoutePlan]
-    # vertex-space Beneš plan: forward = SCATTER values from GATHER values
-    # (scatter_vals = apply_route(plan, gather_vals)); inverse = the reverse.
-    # Replaces per-iteration V-sized gathers in direction changes.
+    # vertex-space Beneš plans (replace per-iteration V-sized gathers in
+    # ordering changes — XLA element gather runs ~0.1 G/s on TPU):
+    # forward = left ordering's values from right ordering's values
+    # (e.g. scatter_vals = apply_route(s_from_g, gather_vals)); inverse = the
+    # reverse direction.
     vertex_route_s_from_g: object = None    # Optional[RoutePlan]
+    vertex_route_s_from_o: object = None    # Optional[RoutePlan]
+    vertex_route_g_from_o: object = None    # Optional[RoutePlan]
     v: int = dataclasses.field(metadata=dict(static=True), default=0)
     v_pad: int = dataclasses.field(metadata=dict(static=True), default=0)
     e: int = dataclasses.field(metadata=dict(static=True), default=0)
@@ -180,19 +184,30 @@ def import_graph(ec: EdgesContainer, cfg: VGLConfig = DEFAULT_CONFIG,
     out = _to_device_directed(h_out)
     inc = _to_device_directed(h_in)
     assert out.v_pad == inc.v_pad
-    route, out_slots, in_slots, vroute = None, 0, 0, None
+    route, out_slots, in_slots = None, 0, 0
+    vroute = vroute_so = vroute_go = None
     if build_route and graph_format == GraphFormat.TILE_CSR:
         from .route_build import build_advance_route
         from ..ops.route import make_route_plan
         route, out_slots, in_slots = build_advance_route(h_out, h_in)
+        v = ec.vertices_count
+        vpad = h_out.vertices_pad
         # scatter_vals[i] = gather_vals[g_of_s[i]]: gather-space id of the vertex
         # whose scatter-space id is i (identity on padding slots)
-        g_of_s = np.arange(h_out.vertices_pad, dtype=np.int64)
-        v = ec.vertices_count
+        g_of_s = np.arange(vpad, dtype=np.int64)
         g_of_s[:v] = h_in.orig_to_sorted[h_out.sorted_to_orig[:v]]
         vroute = make_route_plan(g_of_s)
+        # ORIGINAL -> sorted orderings: sorted_vals[i] = orig_vals[s2o[i]]
+        o_of_s = np.arange(vpad, dtype=np.int64)
+        o_of_s[:v] = h_out.sorted_to_orig[:v]
+        vroute_so = make_route_plan(o_of_s)
+        o_of_g = np.arange(vpad, dtype=np.int64)
+        o_of_g[:v] = h_in.sorted_to_orig[:v]
+        vroute_go = make_route_plan(o_of_g)
     return VGLGraph(outgoing=out, incoming=inc, advance_route=route,
                     vertex_route_s_from_g=vroute,
+                    vertex_route_s_from_o=vroute_so,
+                    vertex_route_g_from_o=vroute_go,
                     v=ec.vertices_count, v_pad=out.v_pad, e=ec.edges_count,
                     out_slots=out_slots, in_slots=in_slots,
                     graph_format=graph_format)

@@ -59,10 +59,37 @@ def _gather_perm(graph: VGLGraph, src: TraversalDirection,
     raise ValueError((src, dst))
 
 
+def _route_for(graph: VGLGraph, src: TraversalDirection,
+               dst: TraversalDirection):
+    """(plan, inverse) executing the src->dst ordering change as a Beneš route,
+    or None when the graph carries no vertex routes."""
+    O, S, G = (TraversalDirection.ORIGINAL, TraversalDirection.SCATTER,
+               TraversalDirection.GATHER)
+    table = {
+        (G, S): (graph.vertex_route_s_from_g, False),
+        (S, G): (graph.vertex_route_s_from_g, True),
+        (O, S): (graph.vertex_route_s_from_o, False),
+        (S, O): (graph.vertex_route_s_from_o, True),
+        (O, G): (graph.vertex_route_g_from_o, False),
+        (G, O): (graph.vertex_route_g_from_o, True),
+    }
+    plan, inverse = table[(src, dst)]
+    return None if plan is None else (plan, inverse)
+
+
 def reorder(arr: VertexArray, graph: VGLGraph,
             direction: TraversalDirection) -> VertexArray:
     if arr.direction == direction:
         return arr
+    # routed path on TPU (element gather ~0.1 G/s; the route is ~1000x); the
+    # gather IS the faster op on CPU hosts, 1-D values only
+    if arr.values.ndim == 1 and jax.default_backend() in ("tpu", "axon"):
+        r = _route_for(graph, arr.direction, direction)
+        if r is not None:
+            from ..ops.route import apply_route
+            plan, inverse = r
+            vals = apply_route(plan, arr.values, inverse=inverse)
+            return VertexArray(values=vals, direction=direction)
     perm = _gather_perm(graph, arr.direction, direction)
     # clip sentinel slots (pad rows map to index v, which is < v_pad so in-bounds)
     vals = jnp.take(arr.values, perm, axis=0, mode="clip")

@@ -18,7 +18,7 @@ import numpy as np
 from ..config import TraversalDirection
 from ..graph.device import VGLGraph
 from ..graph.vertices import VertexArray, reorder
-from ..ops.advance import advance_pull
+from ..ops.advance import advance_pull_fast
 from . import common
 
 S, G, O = (TraversalDirection.SCATTER, TraversalDirection.GATHER,
@@ -40,19 +40,17 @@ def _sv_run(graph: VGLGraph, max_iterations: int):
 
     def hook(labels):
         """min over undirected neighborhood, computed per direction."""
-        lab_g = jnp.take(labels, s2o_in, mode="clip")       # GATHER ordering
-        m_in = advance_pull(graph, {"l": lab_g}, lambda s, d, w: s["l"],
-                            "min", direction=G)
-        m_in_orig = jnp.take(m_in, o2g, mode="clip")
+        lab_g = common.to_direction(graph, labels, O, G)
+        m_in = advance_pull_fast(graph, {"l": lab_g},
+                                 lambda s, d, w: s["l"], "min", direction=G)
+        m_in_orig = common.to_direction(graph, m_in, G, O)
 
-        lab_s = jnp.take(labels, s2o_out, mode="clip")      # SCATTER ordering
-        m_out = advance_pull(graph.__class__(
-            outgoing=graph.incoming, incoming=graph.outgoing, v=graph.v,
-            v_pad=graph.v_pad, e=graph.e, graph_format=graph.graph_format),
-            {"l": lab_s}, lambda s, d, w: s["l"], "min", direction=G)
+        lab_s = common.to_direction(graph, labels, O, S)
+        m_out = advance_pull_fast(graph, {"l": lab_s},
+                                  lambda s, d, w: s["l"], "min", direction=S)
         # NOTE: swapping containers makes "incoming" = outgoing edges, so this pull
         # aggregates over OUT-neighbors while staying in the tiled pull kernel.
-        m_out_orig = jnp.take(m_out, o2s, mode="clip")
+        m_out_orig = common.to_direction(graph, m_out, S, O)
         return jnp.minimum(labels, jnp.minimum(m_in_orig, m_out_orig))
 
     def jump(labels):
@@ -98,17 +96,14 @@ def vgl_bfs_based(graph: VGLGraph, max_components: int = 1_000_000
     @jax.jit
     def flood_step(reach_o):
         """One undirected BFS-flood expansion in ORIGINAL space."""
-        r_g = jnp.take(reach_o, graph.incoming.sorted_to_orig, mode="clip")
-        via_in = advance_pull(graph, {"m": r_g}, lambda s, d, w: s["m"],
-                              "or", direction=G)
-        via_in_o = jnp.take(via_in, graph.incoming.orig_to_sorted, mode="clip")
-        swapped = graph.__class__(
-            outgoing=graph.incoming, incoming=graph.outgoing, v=graph.v,
-            v_pad=graph.v_pad, e=graph.e, graph_format=graph.graph_format)
-        r_s = jnp.take(reach_o, graph.outgoing.sorted_to_orig, mode="clip")
-        via_out = advance_pull(swapped, {"m": r_s}, lambda s, d, w: s["m"],
-                               "or", direction=G)
-        via_out_o = jnp.take(via_out, graph.outgoing.orig_to_sorted, mode="clip")
+        r_g = common.to_direction(graph, reach_o, O, G)
+        via_in = advance_pull_fast(graph, {"m": r_g}, lambda s, d, w: s["m"],
+                                   "or", direction=G)
+        via_in_o = common.to_direction(graph, via_in, G, O)
+        r_s = common.to_direction(graph, reach_o, O, S)
+        via_out = advance_pull_fast(graph, {"m": r_s}, lambda s, d, w: s["m"],
+                                    "or", direction=S)
+        via_out_o = common.to_direction(graph, via_out, S, O)
         return (reach_o | via_in_o | via_out_o) & real
 
     comp = 0

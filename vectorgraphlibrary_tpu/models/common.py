@@ -58,19 +58,25 @@ def undirected_pull(graph: VGLGraph, arrays_orig: dict, edge_op, combine,
     ordering: combines a pull over incoming edges with a pull over outgoing edges.
     arrays_orig values are [v_pad] in ORIGINAL ordering."""
     import jax.numpy as jnp
-    from ..ops.advance import advance_pull
+    from ..ops.advance import advance_pull_fast
     from ..ops import monoid as M
     mon = M.get(combine)
     s2o_in, o2g = graph.incoming.sorted_to_orig, graph.incoming.orig_to_sorted
     s2o_out, o2s = graph.outgoing.sorted_to_orig, graph.outgoing.orig_to_sorted
 
-    arrs_g = {k: jnp.take(a, s2o_in, mode="clip") for k, a in arrays_orig.items()}
-    via_in = advance_pull(graph, arrs_g, edge_op, combine,
-                          direction=TraversalDirection.GATHER)
-    via_in_o = jnp.take(via_in, o2g, mode="clip")
+    arrs_g = {k: to_direction(graph, a, TraversalDirection.ORIGINAL,
+                              TraversalDirection.GATHER)
+              for k, a in arrays_orig.items()}
+    via_in = advance_pull_fast(graph, arrs_g, edge_op, combine,
+                               direction=TraversalDirection.GATHER)
+    via_in_o = to_direction(graph, via_in, TraversalDirection.GATHER,
+                            TraversalDirection.ORIGINAL)
 
-    arrs_s = {k: jnp.take(a, s2o_out, mode="clip") for k, a in arrays_orig.items()}
-    via_out = advance_pull(swapped(graph), arrs_s, edge_op, combine,
-                           direction=TraversalDirection.GATHER)
-    via_out_o = jnp.take(via_out, o2s, mode="clip")
+    arrs_s = {k: to_direction(graph, a, TraversalDirection.ORIGINAL,
+                              TraversalDirection.SCATTER)
+              for k, a in arrays_orig.items()}
+    via_out = advance_pull_fast(graph, arrs_s, edge_op, combine,
+                                direction=TraversalDirection.SCATTER)
+    via_out_o = to_direction(graph, via_out, TraversalDirection.SCATTER,
+                             TraversalDirection.ORIGINAL)
     return mon.combine(via_in_o, via_out_o)

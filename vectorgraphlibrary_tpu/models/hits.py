@@ -19,16 +19,11 @@ import numpy as np
 from ..config import TraversalDirection
 from ..graph.device import VGLGraph
 from ..graph.vertices import VertexArray
-from ..ops.advance import advance_pull
+from ..ops.advance import advance_pull_fast
+from . import common
 
 S, G, O = (TraversalDirection.SCATTER, TraversalDirection.GATHER,
            TraversalDirection.ORIGINAL)
-
-
-def _swapped(graph: VGLGraph) -> VGLGraph:
-    return graph.__class__(outgoing=graph.incoming, incoming=graph.outgoing,
-                           v=graph.v, v_pad=graph.v_pad, e=graph.e,
-                           graph_format=graph.graph_format)
 
 
 @functools.partial(jax.jit, static_argnums=(1,))
@@ -37,7 +32,6 @@ def _hits_run(graph: VGLGraph, iterations: int):
     real = jnp.arange(v_pad, dtype=jnp.int32) < v
     auth0 = jnp.where(real, 1.0, 0.0).astype(jnp.float32)
     hub0 = auth0
-    swapped = _swapped(graph)
     s2o_in, o2g = graph.incoming.sorted_to_orig, graph.incoming.orig_to_sorted
     s2o_out, o2s = graph.outgoing.sorted_to_orig, graph.outgoing.orig_to_sorted
 
@@ -47,14 +41,16 @@ def _hits_run(graph: VGLGraph, iterations: int):
 
     def body(_, state):
         auth, hub = state
-        hub_g = jnp.take(hub, s2o_in, mode="clip")
-        auth_new = advance_pull(graph, {"h": hub_g}, lambda s, d, w: s["h"],
-                                "add", direction=G)
-        auth = normalize(jnp.take(auth_new, o2g, mode="clip") * real)
-        auth_s = jnp.take(auth, s2o_out, mode="clip")
-        hub_new = advance_pull(swapped, {"a": auth_s}, lambda s, d, w: s["a"],
-                               "add", direction=G)
-        hub = normalize(jnp.take(hub_new, o2s, mode="clip") * real)
+        hub_g = common.to_direction(graph, hub, O, G)
+        auth_new = advance_pull_fast(graph, {"h": hub_g},
+                                     lambda s, d, w: s["h"], "add",
+                                     direction=G)
+        auth = normalize(common.to_direction(graph, auth_new, G, O) * real)
+        auth_s = common.to_direction(graph, auth, O, S)
+        hub_new = advance_pull_fast(graph, {"a": auth_s},
+                                    lambda s, d, w: s["a"], "add",
+                                    direction=S)
+        hub = normalize(common.to_direction(graph, hub_new, S, O) * real)
         return auth, hub
 
     return jax.lax.fori_loop(0, iterations, body, (auth0, hub0))

@@ -17,10 +17,11 @@ from ..config import TraversalDirection
 from ..graph.device import VGLGraph
 from ..graph.edges import edge_array_from_flat
 from ..io.edges_container import EdgesContainer
-from ..ops.advance import advance_pull
+from ..ops.advance import advance_pull_fast
 from . import common
 
-G = TraversalDirection.GATHER
+S, G, O = (TraversalDirection.SCATTER, TraversalDirection.GATHER,
+           TraversalDirection.ORIGINAL)
 
 
 def _host_residual_csr(ec: EdgesContainer):
@@ -110,18 +111,18 @@ def vgl_mf_bfs_levels(ec: EdgesContainer, graph: VGLGraph, flow: np.ndarray,
     levels_o = jnp.full(v_pad, INF, jnp.int32).at[source].set(1)
     cur = 1
     while True:
-        lg = jnp.take(levels_o, graph.incoming.sorted_to_orig, mode="clip")
+        lg = common.to_direction(graph, levels_o, O, G)
         on = lg == cur
-        fwd = advance_pull(graph, {"m": on},
-                           lambda s, d, w: s["m"] & (w > 0), "or",
-                           edge_values=ea_f.incoming, direction=G)
-        fwd_o = jnp.take(fwd, graph.incoming.orig_to_sorted, mode="clip")
-        ls = jnp.take(levels_o, graph.outgoing.sorted_to_orig, mode="clip")
+        fwd = advance_pull_fast(graph, {"m": on},
+                                lambda s, d, w: s["m"] & (w > 0), "or",
+                                edge_values=ea_f.incoming, direction=G)
+        fwd_o = common.to_direction(graph, fwd, G, O)
+        ls = common.to_direction(graph, levels_o, O, S)
         on_s = ls == cur
-        bwd = advance_pull(common.swapped(graph), {"m": on_s},
-                           lambda s, d, w: s["m"] & (w > 0), "or",
-                           edge_values=ea_b.outgoing, direction=G)
-        bwd_o = jnp.take(bwd, graph.outgoing.orig_to_sorted, mode="clip")
+        bwd = advance_pull_fast(graph, {"m": on_s},
+                                lambda s, d, w: s["m"] & (w > 0), "or",
+                                edge_values=ea_b.outgoing, direction=S)
+        bwd_o = common.to_direction(graph, bwd, S, O)
         newly = (levels_o == INF) & (fwd_o | bwd_o)
         if int(jnp.sum(newly)) == 0:
             break

@@ -27,7 +27,7 @@ import jax
 import jax.numpy as jnp
 
 from ..config import TraversalDirection
-from ..graph.device import DeviceDirectedGraph, VGLGraph
+from ..graph.device import DeviceDirectedGraph, HugeTile, VGLGraph
 from ..graph.edges import DirectedEdgeValues
 from . import monoid as M
 from . import tiles as T
@@ -232,6 +232,119 @@ def advance_pull_routed(graph: VGLGraph,
                 (b.rows_pad, b.width))
         msg = edge_op(vals, b.adj, dst_ids, w).astype(dtype)
         msg = jnp.where(b.adj < dst_dg.v_pad, msg, ident)
+        if b.flat:
+            parts.append(T.group_reduce_flat(msg, b.width, mon, b.rows))
+        else:
+            parts.append(mon.reduce_axis(msg, 1)[:b.rows])
+        covered = b.row_start + b.rows
+    return _assemble(parts, covered, graph.v_pad, ident, dtype)
+
+
+def _dst_tile_vals(dst_dg: DeviceDirectedGraph, arrs: Dict[str, jax.Array],
+                   tile) -> Dict[str, jax.Array]:
+    """Per-dst-vertex values expanded to a tile's slot shape WITHOUT element
+    gathers: row slices + broadcasts (flat buckets via the group matmul)."""
+    out = {}
+    for k, a in arrs.items():
+        if isinstance(tile, HugeTile):
+            out[k] = jnp.take(a, tile.seg_ids, mode="clip")[:, None]
+        elif tile.flat:
+            rows = jax.lax.dynamic_slice_in_dim(a, tile.row_start, tile.rows_pad)
+            out[k] = T.broadcast_rows_flat(rows, tile.width, tile.slots // 128)
+        else:
+            rows = jax.lax.dynamic_slice_in_dim(a, tile.row_start, tile.rows_pad)
+            out[k] = jnp.broadcast_to(rows[:, None], (tile.rows_pad, tile.width))
+    return out
+
+
+def advance_pull_fast(graph: VGLGraph,
+                      src_arrays: Dict[str, jax.Array],
+                      edge_op: EdgeOp,
+                      combine,
+                      dst_arrays: Optional[Dict[str, jax.Array]] = None,
+                      edge_values: Optional[DirectedEdgeValues] = None,
+                      src_active: Optional[jax.Array] = None,
+                      direction: TraversalDirection = TraversalDirection.GATHER,
+                      out_dtype=None) -> jax.Array:
+    """Drop-in replacement for `advance_pull` (same contract: arrays in the
+    traversal direction's ordering, result [v_pad] in that ordering) that
+    executes gather-FREE when the graph carries routes: each src array is
+    vertex-routed to the source side's ordering, broadcast over the source
+    tiles, Beneš-routed to destination slot order; dst arrays are row-slice
+    broadcasts; src_active is routed and applied after the edge op (exact
+    semantics, unlike the absorbing-value trick). Falls back to the gather
+    path when the graph has no route (XLA element gathers, ~0.1 G/s on TPU —
+    three orders of magnitude slower than the routed path)."""
+    if graph.advance_route is None or graph.vertex_route_s_from_g is None:
+        return advance_pull(graph, src_arrays, edge_op, combine,
+                            dst_arrays=dst_arrays, edge_values=edge_values,
+                            src_active=src_active, direction=direction,
+                            out_dtype=out_dtype)
+    from .route import apply_route
+    mon = M.get(combine)
+    dst_arrays = dst_arrays or {}
+    plan = graph.advance_route
+    vplan = graph.vertex_route_s_from_g
+    n = plan.n
+    if direction == TraversalDirection.GATHER:
+        src_dg, dst_dg = graph.outgoing, graph.incoming
+        inverse = False
+        to_src_order = lambda a: apply_route(vplan, a)           # G -> S
+    else:
+        src_dg, dst_dg = graph.incoming, graph.outgoing
+        inverse = True
+        to_src_order = lambda a: apply_route(vplan, a, inverse=True)  # S -> G
+
+    routed = {}
+    for k, a in src_arrays.items():
+        msgs = _broadcast_over_tiles(src_dg, to_src_order(a), 0, n)
+        routed[k] = jax.lax.optimization_barrier(
+            apply_route(plan, msgs, inverse=inverse))
+    routed_active = None
+    if src_active is not None:
+        am = _broadcast_over_tiles(src_dg, to_src_order(src_active), 0, n)
+        routed_active = jax.lax.optimization_barrier(
+            apply_route(plan, am, inverse=inverse))
+
+    probe = edge_op({k: v[:1][:, None] for k, v in routed.items()},
+                    {k: v[:1][:, None] for k, v in dst_arrays.items()},
+                    None if edge_values is None
+                    else edge_values.flat[:1][:, None])
+    dtype = out_dtype or probe.dtype
+    ident = mon.identity(dtype)
+
+    def consume(tile, offset, w):
+        if isinstance(tile, HugeTile):
+            shape = (tile.n_chunks_pad, tile.chunk_w)
+        else:
+            shape = tile.adj.shape
+        size = shape[0] * shape[1]
+        sv = {k: jax.lax.dynamic_slice_in_dim(v, offset, size).reshape(shape)
+              for k, v in routed.items()}
+        dv = _dst_tile_vals(dst_dg, dst_arrays, tile)
+        msg = edge_op(sv, dv, w).astype(dtype)
+        valid = tile.adj < dst_dg.v_pad
+        if routed_active is not None:
+            act = jax.lax.dynamic_slice_in_dim(
+                routed_active, offset, size).reshape(shape)
+            valid = valid & act
+        return jnp.where(valid, msg, ident), offset + size
+
+    parts = []
+    covered = 0
+    offset = 0
+    if dst_dg.huge is not None:
+        h = dst_dg.huge
+        w = None if edge_values is None else edge_values.huge_tile
+        msg, offset = consume(h, offset, w)
+        chunk_red = mon.reduce_axis(msg, 1)
+        seg = mon.segment_reduce(chunk_red, h.seg_ids, h.n_rows + 1,
+                                 indices_are_sorted=True)
+        parts.append(seg[:h.n_rows])
+        covered = h.n_rows
+    for i, b in enumerate(dst_dg.buckets):
+        w = None if edge_values is None else edge_values.bucket_tiles[i]
+        msg, offset = consume(b, offset, w)
         if b.flat:
             parts.append(T.group_reduce_flat(msg, b.width, mon, b.rows))
         else:
