@@ -52,7 +52,14 @@ def run_app(app_name: str, run_round, check_round=None, need_weights: bool = Fal
             if cfg.check and check_round is not None:
                 total_errors += check_round(ec, graph, weights, source, result,
                                             cfg)
-    runtime.stop_measuring_stats()
+    performance_stats.stop_measuring_stats()   # freeze rounds wall time
+    # reference-style per-primitive table (ms / GB/s / %roofline / MTEPS):
+    # one eager measured pass over the framework primitives on this graph
+    # (performance_stats.hpp:471-479 analog); skip with -no-prim-stats
+    if getattr(cfg, "prim_stats", True):
+        from vectorgraphlibrary_tpu.runtime import prim_profile
+        prim_profile.profile_graph_primitives(graph, weights)
+    performance_stats.print_timers_stats()
     runtime.report_performance(app_name)
     runtime.finalize_library()
     return 1 if (cfg.check and total_errors > 0) else 0

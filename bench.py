@@ -22,7 +22,7 @@ def main():
     from vectorgraphlibrary_tpu.graph.device import import_graph
     from vectorgraphlibrary_tpu.models import pr
 
-    scale, degree, iters = 18, 32, 10
+    scale, degree, iters = 18, 32, 100
     ec = generation.rmat(scale=scale, avg_degree=degree, seed=42, weighted=False)
     graph = import_graph(ec)
 
@@ -31,6 +31,8 @@ def main():
                                 use_convergence=False)
     jax.block_until_ready(ranks.values)
 
+    # one jitted call of `iters` power iterations: amortizes the ~25 ms axon
+    # tunnel dispatch latency so the number reflects device throughput
     t0 = time.perf_counter()
     ranks, it = pr.vgl_page_rank(graph, max_iterations=iters,
                                  use_convergence=False)

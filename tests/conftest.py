@@ -5,6 +5,11 @@ xla_force_host_platform_device_count=8 virtual CPU devices (the "fake cluster" t
 reference lacks — SURVEY.md §4 implication (d))."""
 import os
 
+# Exercise the routed (gather-free) code paths on the CPU backend: without this
+# the backend gates in reorder()/advance_pull_fast() would fall back to gathers
+# and CI would never run the program structure the TPU runs.
+os.environ.setdefault("VGL_FORCE_ROUTED", "1")
+
 # NOTE: this environment's sitecustomize imports jax at interpreter startup with
 # JAX_PLATFORMS=axon (TPU tunnel), so setting the env var here is too late — use
 # jax.config.update, and set XLA_FLAGS before the cpu backend initializes.

@@ -76,3 +76,21 @@ def test_random_walk(setup):
     finals = rw.vgl_random_walk(g, walkers, walk_length=4, seed=7)
     ok = rw.seq_random_walk_reachable(ec, src, walk_length=4)
     assert ok[finals].all()
+
+
+def test_random_walk_paths(setup):
+    """store_walk_paths: every consecutive path pair must be a real edge (or a
+    stopped walker on a zero-outdegree vertex)."""
+    ec, g, ea = setup
+    src = common.select_random_source(ec, seed=43)
+    walkers = np.full(16, src, np.int64)
+    finals, paths = rw.vgl_random_walk(g, walkers, walk_length=4, seed=9,
+                                       store_walk_paths=True)
+    assert paths.shape == (16, 5)
+    np.testing.assert_array_equal(paths[:, 0], walkers)
+    np.testing.assert_array_equal(paths[:, -1], finals)
+    edges = set(zip(ec.src_ids.tolist(), ec.dst_ids.tolist()))
+    outdeg = np.bincount(ec.src_ids, minlength=ec.vertices_count)
+    for p in paths:
+        for a, b in zip(p[:-1], p[1:]):
+            assert (int(a), int(b)) in edges or (outdeg[a] == 0 and a == b)

@@ -139,6 +139,27 @@ def test_compute_reduce_gnf(setup):
     assert int(fr.neighbours_count) == int(deg[deg >= 4].sum())
 
 
+def test_flat_tiles_int_exact_beyond_2p24():
+    """broadcast_rows_flat / group_reduce_flat must be EXACT for int32 values
+    above 2^24 (CC labels on big shards) — the f32 matmul alone would round."""
+    import jax.numpy as jnp
+    from vectorgraphlibrary_tpu.ops import tiles as T
+    from vectorgraphlibrary_tpu.ops import monoid as M
+    rng = np.random.default_rng(0)
+    width, m = 8, 16                       # 16*128/8 = 256 vertex rows
+    rows = m * 128 // width
+    vals = rng.integers(2**24, 2**31 - 1, rows).astype(np.int32)
+    bc = np.asarray(T.broadcast_rows_flat(jnp.asarray(vals), width, m))
+    want = np.repeat(vals, width).reshape(m, 128)
+    np.testing.assert_array_equal(bc, want)
+    # add-reduce exactness: values up to 2^24 per slot, 8 slots per row
+    slot_vals = rng.integers(0, 2**24, (m, 128)).astype(np.int32)
+    red = np.asarray(T.group_reduce_flat(jnp.asarray(slot_vals), width,
+                                         M.get("add"), rows))
+    want_red = slot_vals.reshape(-1, width).sum(axis=1, dtype=np.int64)
+    np.testing.assert_array_equal(red, want_red.astype(np.int32)[:rows])
+
+
 def test_frontier_compact_roundtrip(setup):
     ec, g, ea, host = setup
     rng = np.random.default_rng(4)

@@ -69,11 +69,10 @@ def test_routed_pull_inverse_direction(setup):
     ec, g, ea = setup
     rng = np.random.default_rng(3)
     x_s = jnp.asarray(rng.random(g.v_pad).astype(np.float32))  # SCATTER ordering
-    # reference: swapped-container pull (aggregates over out-neighbors)
+    # reference: gather-path pull over the outgoing container
     from vectorgraphlibrary_tpu.models import common
-    swapped = common.swapped(g)
-    ref = advance_pull(swapped, {"x": x_s}, lambda s, d, w: s["x"], "add",
-                       direction=G)
+    ref = advance_pull(g, {"x": x_s}, lambda s, d, w: s["x"], "add",
+                       direction=S)
     x_g = common.to_direction(g, x_s, S, G)
     got = advance_pull_routed(g, x_g, lambda v, ids, d, w: v, "add", direction=S)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=1e-5)

@@ -77,10 +77,8 @@ class VGLConfig:
     #   ("vector engine" class); the rest live in power-of-two-width ELL buckets.
     huge_degree_threshold: int = 256
     huge_row_chunk: int = 512
-    min_bucket_width: int = 1
     # ---- frontier sparsity switch thresholds (settings.h:111-125) ----
     dense_frontier_threshold: float = 0.03   # active ratio below which SPARSE wins
-    sparse_capacity_factor: float = 1.5      # padded capacity slack for compacted ids
     # ---- bytes model for GB/s accounting (settings.h:140-154) ----
     int_elements_per_edge: float = 3.0
     # ---- runtime flags (cmd_parser.hpp:58-228) ----
@@ -90,9 +88,10 @@ class VGLConfig:
     graph_format: GraphFormat = GraphFormat.TILE_CSR               # -format
     load_path: Optional[str] = None      # -load
     import_path: Optional[str] = None    # -import (KONECT text)
-    store_walk_paths: bool = False
+    store_walk_paths: bool = False       # RW: also return the full walk paths
     check: bool = False                  # -check : verify vs sequential oracle
     iterations: int = 10                 # -it : benchmark rounds
+    prim_stats: bool = True              # per-primitive profiling pass in apps
     device: str = "tpu"                  # -dev
     seed: int = 42
     # algorithm-specific knobs
@@ -101,9 +100,11 @@ class VGLConfig:
     algorithm_variant: str = "auto"      # -td/-bu/-do, -sv/-bfs-based/-purdoms
     max_iterations: int = 10_000         # safety bound for while loops
     convergence_tol: float = 1.0e-6
-    # numerics
+    # numerics. NOTE: the reference's safe-stores/deterministic-accumulation
+    # switch (graph_abstractions_nec.h:332-333) has no analog here by design —
+    # every combine is a functional monoid reduction, always deterministic
+    # (see ARCHITECTURE.md "race handling").
     compute_dtype: str = "float32"
-    deterministic: bool = True           # safe-stores analog: deterministic accumulation
 
     def replace(self, **kw) -> "VGLConfig":
         return dataclasses.replace(self, **kw)

@@ -98,7 +98,8 @@ class DeviceDirectedGraph:
         return last
 
 
-def _to_device_directed(h: HostDirectedCSR) -> DeviceDirectedGraph:
+def _to_device_directed(h: HostDirectedCSR,
+                        e_static: Optional[int] = None) -> DeviceDirectedGraph:
     def _shape(a, width, rows_pad):
         if width < 128:
             return a.reshape(rows_pad * width // 128, 128)
@@ -128,7 +129,8 @@ def _to_device_directed(h: HostDirectedCSR) -> DeviceDirectedGraph:
         sorted_to_orig=jnp.asarray(h.sorted_to_orig, jnp.int32),
         orig_to_sorted=jnp.asarray(h.orig_to_sorted, jnp.int32),
         buckets=buckets, huge=huge,
-        v=h.vertices_count, v_pad=h.vertices_pad, e=h.edges_count, e_pad=h.edges_pad)
+        v=h.vertices_count, v_pad=h.vertices_pad,
+        e=h.edges_count if e_static is None else e_static, e_pad=h.edges_pad)
 
 
 @jax.tree_util.register_dataclass
@@ -189,7 +191,8 @@ def import_graph(ec: EdgesContainer, cfg: VGLConfig = DEFAULT_CONFIG,
     if build_route and graph_format == GraphFormat.TILE_CSR:
         from .route_build import build_advance_route
         from ..ops.route import make_route_plan
-        route, out_slots, in_slots = build_advance_route(h_out, h_in)
+        route, out_slots, in_slots = build_advance_route(
+            h_out, h_in, selfloop_edges=(ec.src_ids == ec.dst_ids))
         v = ec.vertices_count
         vpad = h_out.vertices_pad
         # scatter_vals[i] = gather_vals[g_of_s[i]]: gather-space id of the vertex

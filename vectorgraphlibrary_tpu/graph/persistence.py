@@ -70,19 +70,38 @@ def _pack_route(prefix: str, plan, out: dict) -> None:
     out[f"{prefix}.out_masks"] = np.asarray(plan.out_masks)
     out[f"{prefix}.lane_idx"] = np.asarray(plan.lane_idx)
     out[f"{prefix}.lane_inv"] = np.asarray(plan.lane_inv)
-    out[f"{prefix}.meta"] = np.asarray([plan.n, plan.levels])
+    if plan.mid_words is not None:
+        out[f"{prefix}.mid_words"] = np.asarray(plan.mid_words)
+    if plan.big_words is not None:
+        out[f"{prefix}.big_words"] = np.asarray(plan.big_words)
+    out[f"{prefix}.meta"] = np.asarray([plan.n, plan.levels, plan.kb, plan.kq,
+                                        1 if plan.has_flags else 0])
 
 
 def _unpack_route(prefix: str, z):
-    n, levels = z[f"{prefix}.meta"].tolist()
+    meta = z[f"{prefix}.meta"].tolist()
+    n, levels, kb, kq, has_flags = (meta if len(meta) == 5
+                                    else meta + [0, 0, 0])
+    mid = (jnp.asarray(z[f"{prefix}.mid_words"])
+           if f"{prefix}.mid_words" in z else None)
+    big = (jnp.asarray(z[f"{prefix}.big_words"])
+           if f"{prefix}.big_words" in z else None)
     return RoutePlan(in_masks=jnp.asarray(z[f"{prefix}.in_masks"]),
                      out_masks=jnp.asarray(z[f"{prefix}.out_masks"]),
                      lane_idx=jnp.asarray(z[f"{prefix}.lane_idx"]),
                      lane_inv=jnp.asarray(z[f"{prefix}.lane_inv"]),
-                     n=n, levels=levels)
+                     mid_words=mid, big_words=big,
+                     n=n, levels=levels, kb=kb, kq=kq,
+                     has_flags=bool(has_flags))
 
 
-def save_graph_to_binary_file(graph: VGLGraph, path: str) -> None:
+_VROUTES = (("vroute", "vertex_route_s_from_g"),
+            ("vroute_so", "vertex_route_s_from_o"),
+            ("vroute_go", "vertex_route_g_from_o"))
+
+
+def save_graph_to_binary_file(graph: VGLGraph, path: str,
+                              compressed: bool = True) -> None:
     out = {}
     _pack_directed("out", graph.outgoing, out)
     _pack_directed("in", graph.incoming, out)
@@ -91,19 +110,22 @@ def save_graph_to_binary_file(graph: VGLGraph, path: str) -> None:
     out["format"] = np.asarray([graph.graph_format.value], dtype="U16")
     if graph.advance_route is not None:
         _pack_route("route", graph.advance_route, out)
-    if graph.vertex_route_s_from_g is not None:
-        _pack_route("vroute", graph.vertex_route_s_from_g, out)
-    np.savez_compressed(path, **out)
+    for prefix, attr in _VROUTES:
+        if getattr(graph, attr) is not None:
+            _pack_route(prefix, getattr(graph, attr), out)
+    (np.savez_compressed if compressed else np.savez)(path, **out)
 
 
 def load_graph_from_binary_file(path: str) -> VGLGraph:
     z = np.load(path)
     v, v_pad, e, out_slots, in_slots = z["meta"].tolist()
     route = _unpack_route("route", z) if "route.meta" in z else None
-    vroute = _unpack_route("vroute", z) if "vroute.meta" in z else None
+    vroutes = {attr: (_unpack_route(prefix, z)
+                      if f"{prefix}.meta" in z else None)
+               for prefix, attr in _VROUTES}
     return VGLGraph(
         outgoing=_unpack_directed("out", z),
         incoming=_unpack_directed("in", z),
-        advance_route=route, vertex_route_s_from_g=vroute,
+        advance_route=route, **vroutes,
         v=v, v_pad=v_pad, e=e, out_slots=out_slots, in_slots=in_slots,
         graph_format=GraphFormat.parse(str(z["format"][0])))

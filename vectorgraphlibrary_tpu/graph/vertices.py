@@ -82,8 +82,11 @@ def reorder(arr: VertexArray, graph: VGLGraph,
     if arr.direction == direction:
         return arr
     # routed path on TPU (element gather ~0.1 G/s; the route is ~1000x); the
-    # gather IS the faster op on CPU hosts, 1-D values only
-    if arr.values.ndim == 1 and jax.default_backend() in ("tpu", "axon"):
+    # gather IS the faster op on CPU hosts, 1-D values only. Padding slots
+    # diverge between the paths (route: identity-kept, gather: clipped to index
+    # v) — only the first v slots are contractual (test_route.py pins this).
+    from ..ops.route import routed_backend
+    if arr.values.ndim == 1 and routed_backend():
         r = _route_for(graph, arr.direction, direction)
         if r is not None:
             from ..ops.route import apply_route

@@ -29,7 +29,7 @@ from ..config import TraversalDirection
 from ..graph.device import VGLGraph
 from ..graph.frontier import Frontier, compact_ids, from_vertex, from_mask
 from ..graph.vertices import VertexArray
-from ..ops.advance import advance_pull_fast, advance_push_sparse
+from ..ops.advance import advance_pull_value, advance_push_sparse
 from . import common
 
 S, G = TraversalDirection.SCATTER, TraversalDirection.GATHER
@@ -57,8 +57,7 @@ def _bu_step(graph: VGLGraph, levels_g, outdeg_g, current_level):
     """One bottom-up step in GATHER ordering: unvisited vertices look for any
     in-neighbor on the current level."""
     on_level = levels_g == current_level
-    reached = advance_pull_fast(
-        graph, {"m": on_level}, lambda s, d, w: s["m"], "or", direction=G)
+    reached = advance_pull_value(graph, on_level, "or", direction=G)
     newly = (levels_g == _INF32) & reached
     levels_new = jnp.where(newly, current_level + 1, levels_g)
     size = jnp.sum(newly, dtype=jnp.int32)

@@ -18,7 +18,7 @@ import numpy as np
 from ..config import TraversalDirection
 from ..graph.device import VGLGraph
 from ..graph.vertices import VertexArray, reorder
-from ..ops.advance import advance_pull_fast
+from ..ops.advance import advance_pull_value
 from . import common
 
 S, G, O = (TraversalDirection.SCATTER, TraversalDirection.GATHER,
@@ -32,22 +32,14 @@ def _sv_run(graph: VGLGraph, max_iterations: int):
     real = ids < v
     labels0 = jnp.where(real, ids, jnp.int32(v))   # ORIGINAL ids as labels
 
-    o2s = graph.outgoing.orig_to_sorted
-    s2o_out = graph.outgoing.sorted_to_orig
-    o2g = graph.incoming.orig_to_sorted
-    s2o_in = graph.incoming.sorted_to_orig
-    BIG = jnp.int32(2**31 - 1)
-
     def hook(labels):
         """min over undirected neighborhood, computed per direction."""
         lab_g = common.to_direction(graph, labels, O, G)
-        m_in = advance_pull_fast(graph, {"l": lab_g},
-                                 lambda s, d, w: s["l"], "min", direction=G)
+        m_in = advance_pull_value(graph, lab_g, "min", direction=G)
         m_in_orig = common.to_direction(graph, m_in, G, O)
 
         lab_s = common.to_direction(graph, labels, O, S)
-        m_out = advance_pull_fast(graph, {"l": lab_s},
-                                  lambda s, d, w: s["l"], "min", direction=S)
+        m_out = advance_pull_value(graph, lab_s, "min", direction=S)
         # NOTE: swapping containers makes "incoming" = outgoing edges, so this pull
         # aggregates over OUT-neighbors while staying in the tiled pull kernel.
         m_out_orig = common.to_direction(graph, m_out, S, O)
@@ -97,12 +89,10 @@ def vgl_bfs_based(graph: VGLGraph, max_components: int = 1_000_000
     def flood_step(reach_o):
         """One undirected BFS-flood expansion in ORIGINAL space."""
         r_g = common.to_direction(graph, reach_o, O, G)
-        via_in = advance_pull_fast(graph, {"m": r_g}, lambda s, d, w: s["m"],
-                                   "or", direction=G)
+        via_in = advance_pull_value(graph, r_g, "or", direction=G)
         via_in_o = common.to_direction(graph, via_in, G, O)
         r_s = common.to_direction(graph, reach_o, O, S)
-        via_out = advance_pull_fast(graph, {"m": r_s}, lambda s, d, w: s["m"],
-                                    "or", direction=S)
+        via_out = advance_pull_value(graph, r_s, "or", direction=S)
         via_out_o = common.to_direction(graph, via_out, S, O)
         return (reach_o | via_in_o | via_out_o) & real
 

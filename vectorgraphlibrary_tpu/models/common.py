@@ -44,14 +44,6 @@ def next_pow2(x: int) -> int:
     return 1 if x <= 1 else 1 << int(np.ceil(np.log2(x)))
 
 
-def swapped(graph: VGLGraph) -> VGLGraph:
-    """Container-swapped view: pulls over it aggregate along OUTGOING edges while
-    reusing the same tiled gather kernel."""
-    return graph.__class__(outgoing=graph.incoming, incoming=graph.outgoing,
-                           v=graph.v, v_pad=graph.v_pad, e=graph.e,
-                           graph_format=graph.graph_format)
-
-
 def undirected_pull(graph: VGLGraph, arrays_orig: dict, edge_op, combine,
                     mon_combine=None):
     """Aggregate edge messages over the UNDIRECTED neighborhood, in ORIGINAL
@@ -61,8 +53,6 @@ def undirected_pull(graph: VGLGraph, arrays_orig: dict, edge_op, combine,
     from ..ops.advance import advance_pull_fast
     from ..ops import monoid as M
     mon = M.get(combine)
-    s2o_in, o2g = graph.incoming.sorted_to_orig, graph.incoming.orig_to_sorted
-    s2o_out, o2s = graph.outgoing.sorted_to_orig, graph.outgoing.orig_to_sorted
 
     arrs_g = {k: to_direction(graph, a, TraversalDirection.ORIGINAL,
                               TraversalDirection.GATHER)

@@ -19,7 +19,7 @@ import numpy as np
 from ..config import TraversalDirection
 from ..graph.device import VGLGraph
 from ..graph.vertices import VertexArray
-from ..ops.advance import advance_pull_fast
+from ..ops.advance import advance_pull_value
 from . import common
 
 S, G, O = (TraversalDirection.SCATTER, TraversalDirection.GATHER,
@@ -32,8 +32,6 @@ def _hits_run(graph: VGLGraph, iterations: int):
     real = jnp.arange(v_pad, dtype=jnp.int32) < v
     auth0 = jnp.where(real, 1.0, 0.0).astype(jnp.float32)
     hub0 = auth0
-    s2o_in, o2g = graph.incoming.sorted_to_orig, graph.incoming.orig_to_sorted
-    s2o_out, o2s = graph.outgoing.sorted_to_orig, graph.outgoing.orig_to_sorted
 
     def normalize(x):
         n = jnp.sqrt(jnp.sum(x * x))
@@ -42,14 +40,10 @@ def _hits_run(graph: VGLGraph, iterations: int):
     def body(_, state):
         auth, hub = state
         hub_g = common.to_direction(graph, hub, O, G)
-        auth_new = advance_pull_fast(graph, {"h": hub_g},
-                                     lambda s, d, w: s["h"], "add",
-                                     direction=G)
+        auth_new = advance_pull_value(graph, hub_g, "add", direction=G)
         auth = normalize(common.to_direction(graph, auth_new, G, O) * real)
         auth_s = common.to_direction(graph, auth, O, S)
-        hub_new = advance_pull_fast(graph, {"a": auth_s},
-                                    lambda s, d, w: s["a"], "add",
-                                    direction=S)
+        hub_new = advance_pull_value(graph, auth_s, "add", direction=S)
         hub = normalize(common.to_direction(graph, hub_new, S, O) * real)
         return auth, hub
 

@@ -24,7 +24,7 @@ import numpy as np
 from ..config import TraversalDirection
 from ..graph.device import VGLGraph
 from ..graph.vertices import VertexArray
-from ..ops.advance import advance_pull, advance_pull_routed
+from ..ops.advance import advance_pull_value
 from . import common
 
 G = TraversalDirection.GATHER
@@ -37,7 +37,6 @@ def _pr_run(graph: VGLGraph, max_iterations: int, use_convergence: bool,
     v_pad = graph.v_pad
     ids = jnp.arange(v_pad, dtype=jnp.int32)
     real = ids < v
-    routed = graph.advance_route is not None
 
     # self-loop counts per vertex: one cell pass over incoming tiles
     from ..ops.advance import advance_cells
@@ -53,10 +52,6 @@ def _pr_run(graph: VGLGraph, max_iterations: int, use_convergence: bool,
     outdeg_wo = jnp.where(real, outdeg - loops, 0)
     rev_deg = jnp.where(outdeg_wo > 0, 1.0 / outdeg_wo.astype(jnp.float32), 0.0)
     dangling_mask = real & (outdeg_wo == 0)
-    if routed:
-        from ..ops.route import apply_route
-        # scatter-ordering copy of 1/outdeg for the broadcast side
-        rev_deg_s = apply_route(graph.vertex_route_s_from_g, rev_deg)
 
     k = (1.0 - damping) / v
     ranks0 = jnp.where(real, 1.0 / v, 0.0).astype(jnp.float32)
@@ -64,20 +59,10 @@ def _pr_run(graph: VGLGraph, max_iterations: int, use_convergence: bool,
     def body(state):
         ranks, it, delta = state
         dangling = jnp.sum(jnp.where(dangling_mask, ranks, 0.0)) / v
-        if routed:
-            from ..ops.route import apply_route
-            ranks_s = apply_route(graph.vertex_route_s_from_g, ranks)
-            acc = advance_pull_routed(
-                graph, ranks_s * rev_deg_s,
-                lambda vals, src_ids, dst_ids, w: jnp.where(
-                    src_ids == dst_ids, 0.0, vals),
-                "add", direction=G)
-        else:
-            contrib = ranks * rev_deg
-            acc = advance_pull(
-                graph, {"c": contrib, "id": ids},
-                lambda s, d, w: jnp.where(s["id"] == d["id"], 0.0, s["c"]),
-                "add", dst_arrays={"id": ids}, direction=G)
+        # one restricted-form advance: self-loop exclusion rides the route's
+        # static flag bits — no per-edge id comparison anywhere
+        acc = advance_pull_value(graph, ranks * rev_deg, "add",
+                                 exclude_self_loops=True, direction=G)
         new_ranks = jnp.where(real, k + damping * (acc + dangling), 0.0)
         delta = jnp.sum(jnp.abs(new_ranks - ranks))
         return new_ranks, it + 1, delta

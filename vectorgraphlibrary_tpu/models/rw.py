@@ -23,9 +23,11 @@ S = TraversalDirection.SCATTER
 
 @functools.partial(jax.jit, static_argnums=(3,))
 def _rw_run(graph: VGLGraph, start_sorted, key, walk_length: int):
+    """lax.scan over steps: carries walker positions, stacks the visited vertex
+    per step (walk-path storage, reference random_walk.h:11-30 walk_results)."""
     dg = graph.outgoing
 
-    def body(i, state):
+    def step(state, _):
         pos, k = state
         k, sub = jax.random.split(k)
         deg = jnp.take(dg.degrees, pos, mode="clip")
@@ -34,21 +36,31 @@ def _rw_run(graph: VGLGraph, start_sorted, key, walk_length: int):
         off = jnp.minimum((r * deg).astype(jnp.int32),
                           jnp.maximum(deg - 1, 0))
         nxt = jnp.take(dg.col_idx, start + off, mode="clip")
-        return jnp.where(deg > 0, nxt, pos), k
+        nxt = jnp.where(deg > 0, nxt, pos)
+        return (nxt, k), nxt
 
-    pos, _ = jax.lax.fori_loop(0, walk_length, body, (start_sorted, key))
-    return pos
+    (pos, _), path = jax.lax.scan(step, (start_sorted, key), None,
+                                  length=walk_length)
+    return pos, path        # path: [walk_length, n_walkers] sorted ids
 
 
 def vgl_random_walk(graph: VGLGraph, start_vertices_original: np.ndarray,
-                    walk_length: int = 10, seed: int = 0) -> np.ndarray:
-    """Returns final vertex (ORIGINAL ids) per walker."""
-    starts = jnp.take(graph.outgoing.orig_to_sorted,
-                      jnp.asarray(start_vertices_original, jnp.int32),
-                      mode="clip")
+                    walk_length: int = 10, seed: int = 0,
+                    store_walk_paths: bool = False):
+    """Returns final vertex (ORIGINAL ids) per walker; with store_walk_paths
+    (cfg.store_walk_paths), also the full [n_walkers, walk_length+1] path."""
+    starts_o = jnp.asarray(start_vertices_original, jnp.int32)
+    starts = jnp.take(graph.outgoing.orig_to_sorted, starts_o, mode="clip")
     key = jax.random.PRNGKey(seed)
-    pos = _rw_run(graph, starts, key, walk_length)
-    return np.asarray(jnp.take(graph.outgoing.sorted_to_orig, pos, mode="clip"))
+    pos, path = _rw_run(graph, starts, key, walk_length)
+    s2o = graph.outgoing.sorted_to_orig
+    final = np.asarray(jnp.take(s2o, pos, mode="clip"))
+    if not store_walk_paths:
+        return final
+    path_o = jnp.take(s2o, path, mode="clip").T      # [walkers, steps]
+    full = np.concatenate([np.asarray(starts_o)[:, None], np.asarray(path_o)],
+                          axis=1)
+    return final, full
 
 
 def seq_random_walk_reachable(ec, start: int, walk_length: int) -> np.ndarray:

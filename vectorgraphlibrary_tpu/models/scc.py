@@ -18,7 +18,7 @@ import numpy as np
 from ..config import TraversalDirection
 from ..graph.device import VGLGraph
 from ..graph.vertices import VertexArray
-from ..ops.advance import advance_pull_fast
+from ..ops.advance import advance_pull_value
 from . import common
 
 S, G, O = (TraversalDirection.SCATTER, TraversalDirection.GATHER,
@@ -28,12 +28,12 @@ S, G, O = (TraversalDirection.SCATTER, TraversalDirection.GATHER,
 def _active_degree_step(graph: VGLGraph, active_o: jax.Array):
     """(in-degree, out-degree) restricted to active vertices, ORIGINAL order."""
     act_g = common.to_direction(graph, active_o, O, G)
-    indeg = advance_pull_fast(graph, {"m": act_g.astype(jnp.int32)},
-                              lambda s, d, w: s["m"], "add", direction=G)
+    indeg = advance_pull_value(graph, act_g.astype(jnp.int32), "add",
+                               direction=G)
     indeg_o = common.to_direction(graph, indeg, G, O)
     act_s = common.to_direction(graph, active_o, O, S)
-    outdeg = advance_pull_fast(graph, {"m": act_s.astype(jnp.int32)},
-                               lambda s, d, w: s["m"], "add", direction=S)
+    outdeg = advance_pull_value(graph, act_s.astype(jnp.int32), "add",
+                                direction=S)
     outdeg_o = common.to_direction(graph, outdeg, S, O)
     return indeg_o, outdeg_o
 
@@ -61,13 +61,11 @@ def _reach_step(graph: VGLGraph, reach_o: jax.Array, active_o: jax.Array,
     if forward:
         # who can I reach: new = any in-neighbor (w.r.t. reversed edges) reached
         r_s = common.to_direction(graph, reach_o, O, S)
-        via = advance_pull_fast(graph, {"m": r_s},
-                                lambda s, d, w: s["m"], "or", direction=S)
+        via = advance_pull_value(graph, r_s, "or", direction=S)
         via_o = common.to_direction(graph, via, S, O)
     else:
         r_g = common.to_direction(graph, reach_o, O, G)
-        via = advance_pull_fast(graph, {"m": r_g}, lambda s, d, w: s["m"],
-                                "or", direction=G)
+        via = advance_pull_value(graph, r_g, "or", direction=G)
         via_o = common.to_direction(graph, via, G, O)
     return reach_o | (via_o & active_o)
 

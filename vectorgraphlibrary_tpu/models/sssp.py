@@ -23,7 +23,7 @@ from ..graph.device import VGLGraph
 from ..graph.edges import EdgeArray
 from ..graph.frontier import Frontier, compact_ids
 from ..graph.vertices import VertexArray
-from ..ops.advance import advance_pull_fast, advance_push_sparse
+from ..ops.advance import advance_pull_value, advance_push_sparse
 from . import common
 
 S, G = TraversalDirection.SCATTER, TraversalDirection.GATHER
@@ -35,9 +35,8 @@ def _all_active_run(graph: VGLGraph, weights_in, source_sorted_gather,
     """Bellman-Ford to fixpoint, fully on device (GATHER ordering)."""
 
     def relax(dist):
-        cand = advance_pull_fast(
-            graph, {"d": dist}, lambda s, d, w: s["d"] + w, "min",
-            edge_values=weights_in, direction=G)
+        cand = advance_pull_value(graph, dist, "min", edge_values=weights_in,
+                                  weight_op="add", direction=G)
         return jnp.minimum(dist, cand)
 
     def cond(state):
@@ -84,9 +83,9 @@ def _partial_push_step(graph: VGLGraph, weights_out, dist, ids, valid, ecap):
 @jax.jit
 def _partial_dense_step(graph: VGLGraph, weights_in, dist_g, changed_g):
     """Dense relax restricted to messages from changed sources (GATHER ordering)."""
-    cand = advance_pull_fast(
-        graph, {"d": dist_g}, lambda s, d, w: s["d"] + w, "min",
-        edge_values=weights_in, src_active=changed_g, direction=G)
+    cand = advance_pull_value(graph, dist_g, "min", edge_values=weights_in,
+                              weight_op="add", src_active=changed_g,
+                              direction=G)
     out = jnp.minimum(dist_g, cand)
     changed = out < dist_g
     size = jnp.sum(changed, dtype=jnp.int32)

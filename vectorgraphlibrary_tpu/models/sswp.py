@@ -17,7 +17,7 @@ from ..config import TraversalDirection
 from ..graph.device import VGLGraph
 from ..graph.edges import EdgeArray
 from ..graph.vertices import VertexArray
-from ..ops.advance import advance_pull_fast
+from ..ops.advance import advance_pull_value
 
 G = TraversalDirection.GATHER
 
@@ -25,9 +25,8 @@ G = TraversalDirection.GATHER
 @functools.partial(jax.jit, static_argnums=(3,))
 def _sswp_run(graph: VGLGraph, weights_in, source_sorted, max_iterations: int):
     def relax(cap):
-        cand = advance_pull_fast(
-            graph, {"c": cap}, lambda s, d, w: jnp.minimum(s["c"], w), "max",
-            edge_values=weights_in, direction=G)
+        cand = advance_pull_value(graph, cap, "max", edge_values=weights_in,
+                                  weight_op="min", direction=G)
         return jnp.maximum(cap, cand)
 
     cap0 = jnp.zeros(graph.v_pad, jnp.float32).at[source_sorted].set(jnp.inf)

@@ -42,9 +42,21 @@ def _gather_src(arrs: Dict[str, jax.Array], adj: jax.Array) -> Dict[str, jax.Arr
     return {k: jnp.take(a, adj, axis=0, mode="clip") for k, a in arrs.items()}
 
 
+def _ext_tail(a: jax.Array, extra: int = 128) -> jax.Array:
+    """Append `extra` zero slots so tile row slices can overrun v_pad.
+
+    dynamic_slice CLAMPS out-of-bounds starts: a tail bucket whose rows_pad
+    padding extends past v_pad would silently read values shifted backwards
+    (rows_pad is rounded to the flat-lane multiple, up to 127 rows past the
+    last real row). The padded slots themselves are masked downstream (adj
+    sentinel / valid flag), only the slice base must stay in bounds."""
+    return jnp.concatenate([a, jnp.zeros((extra,), a.dtype)])
+
+
 def _dst_slice(arrs: Dict[str, jax.Array], start: int, rows_pad: int
                ) -> Dict[str, jax.Array]:
-    return {k: jax.lax.dynamic_slice_in_dim(a, start, rows_pad, axis=0)[:, None]
+    return {k: jax.lax.dynamic_slice_in_dim(
+                _ext_tail(a), start, rows_pad, axis=0)[:, None]
             for k, a in arrs.items()}
 
 
@@ -132,8 +144,9 @@ def _broadcast_over_tiles(dg: DeviceDirectedGraph, src_vec: jax.Array,
         seg_vals = jnp.take(src_vec, h.seg_ids, mode="clip")
         parts.append(jnp.broadcast_to(seg_vals[:, None],
                                       (h.n_chunks_pad, h.chunk_w)).ravel())
+    src_ext = _ext_tail(src_vec)
     for b in dg.buckets:
-        rows = jax.lax.dynamic_slice_in_dim(src_vec, b.row_start, b.rows_pad)
+        rows = jax.lax.dynamic_slice_in_dim(src_ext, b.row_start, b.rows_pad)
         if b.flat:
             parts.append(T.broadcast_rows_flat(rows, b.width,
                                                b.slots // 128).ravel())
@@ -249,10 +262,12 @@ def _dst_tile_vals(dst_dg: DeviceDirectedGraph, arrs: Dict[str, jax.Array],
         if isinstance(tile, HugeTile):
             out[k] = jnp.take(a, tile.seg_ids, mode="clip")[:, None]
         elif tile.flat:
-            rows = jax.lax.dynamic_slice_in_dim(a, tile.row_start, tile.rows_pad)
+            rows = jax.lax.dynamic_slice_in_dim(_ext_tail(a), tile.row_start,
+                                                tile.rows_pad)
             out[k] = T.broadcast_rows_flat(rows, tile.width, tile.slots // 128)
         else:
-            rows = jax.lax.dynamic_slice_in_dim(a, tile.row_start, tile.rows_pad)
+            rows = jax.lax.dynamic_slice_in_dim(_ext_tail(a), tile.row_start,
+                                                tile.rows_pad)
             out[k] = jnp.broadcast_to(rows[:, None], (tile.rows_pad, tile.width))
     return out
 
@@ -275,12 +290,15 @@ def advance_pull_fast(graph: VGLGraph,
     semantics, unlike the absorbing-value trick). Falls back to the gather
     path when the graph has no route (XLA element gathers, ~0.1 G/s on TPU —
     three orders of magnitude slower than the routed path)."""
-    if graph.advance_route is None or graph.vertex_route_s_from_g is None:
+    from .route import apply_route, routed_backend
+    if (graph.advance_route is None or graph.vertex_route_s_from_g is None
+            or not routed_backend()):
+        # CPU hosts (dryruns, virtual meshes): the single gather beats the
+        # multi-stage Beneš exchange — mirror reorder()'s backend gate
         return advance_pull(graph, src_arrays, edge_op, combine,
                             dst_arrays=dst_arrays, edge_values=edge_values,
                             src_active=src_active, direction=direction,
                             out_dtype=out_dtype)
-    from .route import apply_route
     mon = M.get(combine)
     dst_arrays = dst_arrays or {}
     plan = graph.advance_route
@@ -351,6 +369,141 @@ def advance_pull_fast(graph: VGLGraph,
             parts.append(mon.reduce_axis(msg, 1)[:b.rows])
         covered = b.row_start + b.rows
     return _assemble(parts, covered, graph.v_pad, ident, dtype)
+
+
+def _reduce_dst_tiles(dst_dg: DeviceDirectedGraph, finished: jax.Array,
+                      mon, dtype, v_pad_out: int, ident) -> jax.Array:
+    """Per-destination-row reduction over PRE-MASKED route output: `finished`
+    already carries the monoid identity in every non-edge slot (the fused
+    finish epilogue), so — unlike the advance_pull_routed consume path — no
+    adjacency tile is ever read."""
+    parts = []
+    covered = 0
+    offset = 0
+    if dst_dg.huge is not None:
+        h = dst_dg.huge
+        size = h.n_chunks_pad * h.chunk_w
+        vals = jax.lax.dynamic_slice_in_dim(finished, offset, size).reshape(
+            h.n_chunks_pad, h.chunk_w)
+        offset += size
+        chunk_red = mon.reduce_axis(vals, 1)
+        seg = mon.segment_reduce(chunk_red, h.seg_ids, h.n_rows + 1,
+                                 indices_are_sorted=True)
+        parts.append(seg[:h.n_rows])
+        covered = h.n_rows
+    for b in dst_dg.buckets:
+        vals = jax.lax.dynamic_slice_in_dim(finished, offset, b.slots).reshape(
+            b.adj.shape)
+        offset += b.slots
+        if b.flat:
+            parts.append(T.group_reduce_flat(vals, b.width, mon, b.rows))
+        else:
+            parts.append(mon.reduce_axis(vals, 1)[:b.rows])
+        covered = b.row_start + b.rows
+    return _assemble(parts, covered, v_pad_out, ident, dtype)
+
+
+def advance_pull_value(graph: VGLGraph,
+                       src_vec: jax.Array,
+                       combine,
+                       edge_values: Optional[DirectedEdgeValues] = None,
+                       weight_op: Optional[str] = None,
+                       exclude_self_loops: bool = False,
+                       src_active: Optional[jax.Array] = None,
+                       direction: TraversalDirection = TraversalDirection.GATHER,
+                       out_dtype=None) -> jax.Array:
+    """Restricted-form fast advance — the speed-of-light path for the hot
+    algorithms. Per-edge message = ``weight_op(src_value, edge_value)`` (or the
+    raw src value), masked to the combine identity on non-edge slots and,
+    optionally, self-loop slots. Covers PR (add, no self-loops), BFS bottom-up
+    (or), CC hook (min), HITS (add), SSSP pull (min of value+w), SSWP (max of
+    min(value, w)).
+
+    Same contract as advance_pull/advance_pull_fast: ``src_vec`` [v_pad] in the
+    traversal direction's ordering, result [v_pad] in that ordering. On TPU the
+    epilogue fuses into the route's last Pallas kernel via the plan's static
+    flag bits (route_fused.FinishSpec) — the reduction then never reads
+    adjacency; on hosts without the fused plan it lowers to the equivalent
+    general edge_op through advance_pull_fast/advance_pull."""
+    from .route import apply_route, routed_backend
+    from .pallas import route_fused
+    mon = M.get(combine)
+    plan = graph.advance_route
+    vplan = graph.vertex_route_s_from_g
+    fused_ok = (plan is not None and vplan is not None
+                and getattr(plan, "has_flags", False)
+                and plan.mid_words is not None
+                and (jax.default_backend() in ("tpu", "axon")
+                     or route_fused._INTERPRET))
+    if weight_op is not None:
+        if edge_values is None or edge_values.slot_flat is None:
+            # e.g. device-rebuilt edge arrays (MF residuals) lack the
+            # slot-ordered copy — use the generic path
+            fused_ok = False
+        # absorbing-value src_active masking must survive the weight combine
+        assert src_active is None or mon.name in ("min", "max") \
+            or weight_op == "mul", (mon.name, weight_op)
+
+    if not fused_ok:
+        # generic-edge-op fallback (gather path on CPU, routed on TPU w/o flags)
+        wops = {None: lambda x, w: x, "add": lambda x, w: x + w,
+                "min": jnp.minimum, "max": jnp.maximum, "mul": jnp.multiply}
+        wop = wops[weight_op]
+        srcs = {"x": src_vec}
+        dsts = {}
+        if exclude_self_loops:
+            ids = jnp.arange(graph.v_pad, dtype=jnp.int32)
+            srcs["id"] = ids
+            dsts["id"] = ids
+
+        def edge_op(s, d, w):
+            x = wop(s["x"], w) if weight_op is not None else s["x"]
+            if exclude_self_loops:
+                ident = _mask_value(mon, x.dtype)
+                x = jnp.where(s["id"] == d["id"], jnp.asarray(ident, x.dtype), x)
+            return x
+
+        return advance_pull_fast(graph, srcs, edge_op, combine,
+                                 dst_arrays=dsts, edge_values=edge_values,
+                                 src_active=src_active, direction=direction,
+                                 out_dtype=out_dtype)
+
+    if direction == TraversalDirection.GATHER:
+        src_dg, dst_dg = graph.outgoing, graph.incoming
+        inverse = False
+        to_src_order = lambda a: apply_route(vplan, a)           # G -> S
+    else:
+        src_dg, dst_dg = graph.incoming, graph.outgoing
+        inverse = True
+        to_src_order = lambda a: apply_route(vplan, a, inverse=True)
+
+    weights = edge_values.slot_flat if weight_op is not None else None
+    is_bool = src_vec.dtype == jnp.bool_
+    if is_bool:
+        src_vec = src_vec.astype(jnp.int32)
+        if mon.name == "or":
+            mon = M.get("max")          # or over {0,1} int32 == max
+    dtype = out_dtype or (jnp.result_type(src_vec.dtype, weights.dtype)
+                          if weights is not None else src_vec.dtype)
+    src_vec = src_vec.astype(dtype)
+    assert jnp.dtype(dtype).itemsize == 4, dtype
+    # bool-or runs as max over {0,1} int32: the mask/empty-row identity must
+    # stay 0 (int32's max-identity would cast back to True)
+    ident = 0 if is_bool else _mask_value(mon, dtype)
+    if src_active is not None:
+        src_vec = jnp.where(src_active, src_vec, jnp.asarray(ident, dtype))
+
+    msgs = _broadcast_over_tiles(src_dg, to_src_order(src_vec), 0, plan.n)
+    finish = route_fused.FinishSpec(ident=ident,
+                                    exclude_self_loops=exclude_self_loops,
+                                    weight_op=weight_op)
+    routed = route_fused.apply_route_fused(plan, msgs, inverse=inverse,
+                                           finish=finish, weights=weights)
+    out = _reduce_dst_tiles(dst_dg, routed, mon, dtype, graph.v_pad,
+                            jnp.asarray(ident, dtype))
+    if is_bool:
+        out = out.astype(jnp.bool_)
+    return out
 
 
 def advance_cells(graph: VGLGraph,

@@ -1,4 +1,4 @@
-"""Fused Pallas execution of the Beneš route.
+"""Fused Pallas execution of the Beneš route (+ fused advance "finish").
 
 The XLA path in ops/route.py materializes every masked-exchange stage in HBM
 (~34 stages × full-array IO for n=2^24 — measured ~90 ms on v5e). This module
@@ -12,13 +12,22 @@ enough), each a single HBM round-trip:
               intra-128-lane shuffle.  Blocked (B, 128) contiguous rows.
     kernel A' remaining big stages of the second half.
 
-Two design rules keep the kernels on the VPU fast path:
+Design rules that keep the kernels on the VPU fast path:
 - masks are WORD-PACKED per element (int32: bit j = swap decision of stage j),
   so extracting a stage's mask is a shift+and — the XLA path's
   bitpacked-uint8 → bool[n] unpack forces a cross-lane relayout every stage;
+- the forward lane-shuffle index (7 bits) rides in the SAME word (bits
+  10..15 + 26), so the forward mid kernel reads two arrays, not three;
 - partner values come from two circular rolls + a parity select
   (y[i] = x[i XOR d] == select(i&d, roll(x,+d), roll(x,-d))), never from
-  reshape-flips that would retile VMEM.
+  reshape-flips that would retile VMEM;
+- per-slot STATIC advance metadata (slot-is-a-real-edge, slot-is-a-self-loop)
+  rides in spare mask bits (31/30 for the forward output order, 29/28 for the
+  inverse output order), so the advance's epilogue — weight combine + validity
+  masking, the whole per-edge `edge_op` of the hot algorithms — fuses into the
+  route's LAST kernel at zero extra memory traffic ("finish", see FinishSpec).
+  The reference reads adjacency per edge to do this (advance_worker.hpp);
+  here the downstream reduction never touches adjacency at all.
 
 Stage order bookkeeping (matching ops/route.py): forward applies in-half
 levels 0..L-1 (row distance R/2 → 1), lane shuffle, out-half levels L-1..0
@@ -26,8 +35,10 @@ levels 0..L-1 (row distance R/2 → 1), lane shuffle, out-half levels L-1..0
 """
 from __future__ import annotations
 
+import dataclasses
 import functools
 import os
+from typing import Optional
 
 import jax
 import jax.numpy as jnp
@@ -36,9 +47,23 @@ import numpy as np
 _INTERPRET = bool(int(os.environ.get("VGL_PALLAS_INTERPRET", "0")))
 
 # max rows per mid-kernel block: 2^10 rows × 128 lanes × 4 B = 512 KB/array
-# (the kernel holds x + words + lane + out blocks PLUS per-stage roll/select
+# (the kernel holds x + words + out blocks PLUS per-stage roll/select
 # temporaries in scoped VMEM; 2^12-row blocks measured 24.3 MB > the 16 MB cap)
 _KB_MAX = 10
+# big-stage words use bits [0, kq) and [16, 16+kq) plus flag bits 28-31:
+# kq ≤ 12 keeps them disjoint → routes up to n = 2^(7+_KB_MAX+12) = 2^29 slots.
+_KQ_MAX = 12
+
+
+@dataclasses.dataclass(frozen=True)
+class FinishSpec:
+    """Static epilogue fused into the route's last kernel (the restricted
+    edge_op of the hot advance): x' = wop(x, w); out = valid ? x' : ident,
+    where valid/self-loop are the per-slot flag bits baked into the plan."""
+
+    ident: float                       # combine monoid identity (mask value)
+    exclude_self_loops: bool = False   # also mask slots flagged self-loop
+    weight_op: Optional[str] = None    # None | 'add' | 'min' | 'max' | 'mul'
 
 
 def split_levels(n: int) -> tuple[int, int]:
@@ -50,33 +75,57 @@ def split_levels(n: int) -> tuple[int, int]:
     return kb, kq
 
 
-def build_word_masks(in_m: np.ndarray, out_m: np.ndarray, n: int
+def build_word_masks(in_m: np.ndarray, out_m: np.ndarray, n: int,
+                     lane_fwd: Optional[np.ndarray] = None,
+                     flags_fwd: Optional[np.ndarray] = None,
+                     flags_inv: Optional[np.ndarray] = None,
                      ) -> tuple[np.ndarray, np.ndarray | None]:
     """Pack per-stage bit masks (uint8 [levels, n]) into per-element words.
 
-    mid_words  int32 [R, 128]: bit j      = in-half stage with row-dist B/2>>j
-                               bit 16+j   = out-half stage with row-dist 1<<j
-    big_words  int32 [R, 128]: bit j      = in-half stage with row-dist R/2>>j
-                               bit 16+j   = out-half stage with row-dist B<<j
-    (None when kq == 0).  levels = kb + kq per half."""
+    mid_words  int32 [R, 128]: bit j    = in-half stage with row-dist B/2>>j
+                               bit 16+j = out-half stage with row-dist 1<<j
+                               bits 10..15 + 26 = forward lane-shuffle index
+    big_words  int32 [R, 128]: bit j    = in-half stage with row-dist R/2>>j
+                               bit 16+j = out-half stage with row-dist B<<j
+    (big is None when kq == 0).  levels = kb + kq per half.
+
+    flags_fwd/flags_inv (uint8 [n], bit0 = valid-slot, bit1 = self-loop) are
+    packed into the kernel that runs LAST in the respective direction —
+    big_words when kq > 0 else mid_words — at bits 31/30 (fwd) and 29/28 (inv),
+    indexed by that direction's OUTPUT slot position."""
     kb, kq = split_levels(n)
     levels = kb + kq
     assert in_m.shape[0] == levels, (in_m.shape, levels)
-    assert kb <= 16 and kq <= 16, (kb, kq)
+    # lane bits live at 10..15(+26): kb may not spill into them
+    assert kb <= 10 and kq <= _KQ_MAX, (kb, kq)
     r = n // 128
 
-    mid = np.zeros(n, np.int32)
+    mid = np.zeros(n, np.uint32)
     for j in range(kb):
-        mid |= in_m[kq + j].astype(np.int32) << j
-        mid |= out_m[levels - 1 - j].astype(np.int32) << (16 + j)
+        mid |= in_m[kq + j].astype(np.uint32) << j
+        mid |= out_m[levels - 1 - j].astype(np.uint32) << (16 + j)
+    if lane_fwd is not None:
+        lf = lane_fwd.reshape(-1).astype(np.uint32)
+        mid |= (lf & 63) << 10
+        mid |= (lf >> 6) << 26
     big = None
     if kq > 0:
-        big = np.zeros(n, np.int32)
+        big = np.zeros(n, np.uint32)
         for j in range(kq):
-            big |= in_m[j].astype(np.int32) << j
-            big |= out_m[kq - 1 - j].astype(np.int32) << (16 + j)
-        big = big.reshape(r, 128)
-    return mid.reshape(r, 128), big
+            big |= in_m[j].astype(np.uint32) << j
+            big |= out_m[kq - 1 - j].astype(np.uint32) << (16 + j)
+    flag_target = big if big is not None else mid
+    if flags_fwd is not None:
+        f = flags_fwd.astype(np.uint32)
+        flag_target |= (f & 1) << 31          # forward-output valid
+        flag_target |= ((f >> 1) & 1) << 30   # forward-output self-loop
+    if flags_inv is not None:
+        f = flags_inv.astype(np.uint32)
+        flag_target |= (f & 1) << 29          # inverse-output valid
+        flag_target |= ((f >> 1) & 1) << 28   # inverse-output self-loop
+    mid32 = mid.view(np.int32).reshape(r, 128)
+    big32 = None if big is None else big.view(np.int32).reshape(r, 128)
+    return mid32, big32
 
 
 def _xor_swap(x: jax.Array, swap: jax.Array, dist: int, axis: int) -> jax.Array:
@@ -88,7 +137,36 @@ def _xor_swap(x: jax.Array, swap: jax.Array, dist: int, axis: int) -> jax.Array:
     return jnp.where(swap, partner, x)
 
 
-def _mid_kernel(kb: int, inverse: bool, x_ref, w_ref, lane_ref, o_ref):
+def _finish(x, w, wt, finish: FinishSpec, fwd: bool, dtype):
+    """Apply the fused advance epilogue: optional weight combine, then mask
+    non-edge (and optionally self-loop) slots to the combine identity, using
+    the static flag bits of this direction's output order."""
+    if wt is not None:
+        op = {"add": jnp.add, "min": jnp.minimum, "max": jnp.maximum,
+              "mul": jnp.multiply}[finish.weight_op]
+        x = op(x, wt)
+    vb, sb = (31, 30) if fwd else (29, 28)
+    ok = ((w >> vb) & 1) == 1
+    if finish.exclude_self_loops:
+        ok &= ((w >> sb) & 1) == 0
+    return jnp.where(ok, x, jnp.asarray(finish.ident, dtype))
+
+
+def _mid_kernel(kb: int, inverse: bool, finish, *refs):
+    if inverse:
+        if finish is not None:
+            x_ref, w_ref, lane_ref, wt_ref, o_ref = (
+                refs if len(refs) == 5 else
+                (refs[0], refs[1], refs[2], None, refs[3]))
+        else:
+            x_ref, w_ref, lane_ref, o_ref = refs
+            wt_ref = None
+    else:
+        if finish is not None and len(refs) == 4:
+            x_ref, w_ref, wt_ref, o_ref = refs
+        else:
+            x_ref, w_ref, o_ref = refs
+            wt_ref = None
     x = x_ref[:]
     w = w_ref[:]
     b = 1 << kb
@@ -96,7 +174,8 @@ def _mid_kernel(kb: int, inverse: bool, x_ref, w_ref, lane_ref, o_ref):
         for j in range(kb):                      # in-half, row-dist B/2 → 1
             bit = ((w >> j) & 1) == 1
             x = _xor_swap(x, bit, b >> (j + 1), axis=0)
-        x = jnp.take_along_axis(x, lane_ref[:], axis=1)
+        lane = ((w >> 10) & 63) | (((w >> 26) & 1) << 6)
+        x = jnp.take_along_axis(x, lane, axis=1)
         for j in range(kb):                      # out-half, row-dist 1 → B/2
             bit = ((w >> (16 + j)) & 1) == 1
             x = _xor_swap(x, bit, 1 << j, axis=0)
@@ -108,51 +187,66 @@ def _mid_kernel(kb: int, inverse: bool, x_ref, w_ref, lane_ref, o_ref):
         for j in range(kb - 1, -1, -1):          # in-half, row-dist 1 → B/2
             bit = ((w >> j) & 1) == 1
             x = _xor_swap(x, bit, (1 << kb) >> (j + 1), axis=0)
+    if finish is not None:
+        x = _finish(x, w, None if wt_ref is None else wt_ref[:],
+                    finish, fwd=not inverse, dtype=x.dtype)
     o_ref[:] = x
 
 
-def _big_kernel(kq: int, half: str, inverse: bool, x_ref, w_ref, o_ref):
+def _big_kernel(kq: int, half: str, inverse: bool, finish, *refs):
     """Big stages over the q axis of (Q, C, 128) blocks.
 
     half='in'  forward: in-half bits j=0..kq-1 (q-dist Q/2 → 1)
     half='out' forward: out-half bits 16+j, j=0..kq-1 (q-dist 1 → Q/2)
     inverse flips both the half used and the iteration order (see apply)."""
+    if finish is not None and len(refs) == 4:
+        x_ref, w_ref, wt_ref, o_ref = refs
+    else:
+        x_ref, w_ref, o_ref = refs
+        wt_ref = None
     x = x_ref[:]
     w = w_ref[:]
     q = 1 << kq
+    js = range(kq) if not inverse else range(kq - 1, -1, -1)
     if half == "in":
-        js = range(kq) if not inverse else range(kq - 1, -1, -1)
         for j in js:
             bit = ((w >> j) & 1) == 1
             x = _xor_swap(x, bit, q >> (j + 1), axis=0)
     else:
-        js = range(kq) if not inverse else range(kq - 1, -1, -1)
         for j in js:
             bit = ((w >> (16 + j)) & 1) == 1
             x = _xor_swap(x, bit, 1 << j, axis=0)
+    if finish is not None:
+        x = _finish(x, w, None if wt_ref is None else wt_ref[:],
+                    finish, fwd=not inverse, dtype=x.dtype)
     o_ref[:] = x
 
 
-def _mid_call(x2: jax.Array, words: jax.Array, lane: jax.Array, kb: int,
-              inverse: bool) -> jax.Array:
+def _mid_call(x2: jax.Array, words: jax.Array, lane_inv, kb: int,
+              inverse: bool, finish=None, weights=None) -> jax.Array:
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
     r = x2.shape[0]
     b = 1 << kb
     spec = lambda: pl.BlockSpec((b, 128), lambda i: (i, 0),
                                 memory_space=pltpu.VMEM)
+    ins = [x2, words]
+    if inverse:
+        ins.append(lane_inv)
+    if weights is not None:
+        ins.append(weights.reshape(r, 128))
     return pl.pallas_call(
-        functools.partial(_mid_kernel, kb, inverse),
+        functools.partial(_mid_kernel, kb, inverse, finish),
         grid=(r // b,),
-        in_specs=[spec(), spec(), spec()],
+        in_specs=[spec() for _ in ins],
         out_specs=spec(),
         out_shape=jax.ShapeDtypeStruct(x2.shape, x2.dtype),
         interpret=_INTERPRET,
-    )(x2, words, lane)
+    )(*ins)
 
 
 def _big_call(x2: jax.Array, words: jax.Array, kb: int, kq: int, half: str,
-              inverse: bool) -> jax.Array:
+              inverse: bool, finish=None, weights=None) -> jax.Array:
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
     r = x2.shape[0]
@@ -160,44 +254,60 @@ def _big_call(x2: jax.Array, words: jax.Array, kb: int, kq: int, half: str,
     # (Q, C, 128) blocks: full q-dim resident; C rows of each super-block
     c = max(8, (1 << _KB_MAX) // q)
     c = min(c, b)
-    x3 = x2.reshape(q, b, 128)
-    w3 = words.reshape(q, b, 128)
     spec = lambda: pl.BlockSpec((q, c, 128), lambda i: (0, i, 0),
                                 memory_space=pltpu.VMEM)
+    ins = [x2.reshape(q, b, 128), words.reshape(q, b, 128)]
+    if weights is not None:
+        ins.append(weights.reshape(q, b, 128))
     out = pl.pallas_call(
-        functools.partial(_big_kernel, kq, half, inverse),
+        functools.partial(_big_kernel, kq, half, inverse, finish),
         grid=(b // c,),
-        in_specs=[spec(), spec()],
+        in_specs=[spec() for _ in ins],
         out_specs=spec(),
-        out_shape=jax.ShapeDtypeStruct(x3.shape, x3.dtype),
+        out_shape=jax.ShapeDtypeStruct(ins[0].shape, x2.dtype),
         interpret=_INTERPRET,
-    )(x3, w3)
+    )(*ins)
     return out.reshape(r, 128)
 
 
-def apply_route_fused(plan, x: jax.Array, inverse: bool = False) -> jax.Array:
-    """Fused equivalent of ops.route.apply_route (same RoutePlan contract)."""
+def apply_route_fused(plan, x: jax.Array, inverse: bool = False,
+                      finish: Optional[FinishSpec] = None,
+                      weights: Optional[jax.Array] = None) -> jax.Array:
+    """Fused equivalent of ops.route.apply_route (same RoutePlan contract).
+
+    With `finish`, the LAST kernel additionally applies the restricted advance
+    epilogue (weight combine + static validity/self-loop masking) — requires a
+    plan built with flags (plan.has_flags). `weights` is the per-output-slot
+    static value array ([n], 4-byte dtype)."""
     n = plan.n
     kb, kq = plan.kb, plan.kq
+    if finish is not None:
+        assert plan.has_flags, "plan built without finish flags"
+        assert (weights is not None) == (finish.weight_op is not None)
     orig_dtype = x.dtype
     if x.dtype == jnp.bool_:
         x = x.astype(jnp.int32)
     assert x.dtype.itemsize == 4, x.dtype
     x2 = x.reshape(-1, 128)
-    lane = plan.lane_idx if not inverse else plan.lane_inv
     if not inverse:
         if kq:
             x2 = _big_call(x2, plan.big_words, kb, kq, "in", False)
-        x2 = _mid_call(x2, plan.mid_words, lane, kb, False)
-        if kq:
-            x2 = _big_call(x2, plan.big_words, kb, kq, "out", False)
+            x2 = _mid_call(x2, plan.mid_words, None, kb, False)
+            x2 = _big_call(x2, plan.big_words, kb, kq, "out", False,
+                           finish=finish, weights=weights)
+        else:
+            x2 = _mid_call(x2, plan.mid_words, None, kb, False,
+                           finish=finish, weights=weights)
     else:
         if kq:
             x2 = _big_call(x2, plan.big_words, kb, kq, "out", True)
-        x2 = _mid_call(x2, plan.mid_words, lane, kb, True)
-        if kq:
-            x2 = _big_call(x2, plan.big_words, kb, kq, "in", True)
+            x2 = _mid_call(x2, plan.mid_words, plan.lane_inv, kb, True)
+            x2 = _big_call(x2, plan.big_words, kb, kq, "in", True,
+                           finish=finish, weights=weights)
+        else:
+            x2 = _mid_call(x2, plan.mid_words, plan.lane_inv, kb, True,
+                           finish=finish, weights=weights)
     out = x2.reshape(-1)
-    if orig_dtype == jnp.bool_:
+    if orig_dtype == jnp.bool_ and finish is None:
         out = out.astype(jnp.bool_)
     return out

@@ -17,11 +17,27 @@ from __future__ import annotations
 
 import dataclasses
 import functools
+import os
 from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
 import numpy as np
+
+# CI escape hatch: force the routed code paths on non-TPU backends so the CPU
+# test suite exercises the same program structure the TPU runs (the routes
+# themselves execute via the XLA stage path or interpret-mode Pallas there).
+_FORCE_ROUTED = bool(int(os.environ.get("VGL_FORCE_ROUTED", "0")))
+
+
+def routed_backend() -> bool:
+    """True when routed (gather-free) execution should be preferred. On CPU
+    hosts a single XLA gather beats the multi-stage Beneš exchange, so dryruns
+    and plain-CPU runs fall back to gathers unless VGL_FORCE_ROUTED/interpret
+    mode asks for route coverage."""
+    from .pallas import route_fused
+    return (jax.default_backend() in ("tpu", "axon") or _FORCE_ROUTED
+            or route_fused._INTERPRET)
 
 
 @jax.tree_util.register_dataclass
@@ -45,10 +61,21 @@ class RoutePlan:
     levels: int = dataclasses.field(metadata=dict(static=True), default=0)
     kb: int = dataclasses.field(metadata=dict(static=True), default=0)
     kq: int = dataclasses.field(metadata=dict(static=True), default=0)
+    # advance plans carry per-slot valid/self-loop flags in spare mask-word
+    # bits, enabling the fused route "finish" (route_fused.FinishSpec)
+    has_flags: bool = dataclasses.field(metadata=dict(static=True),
+                                        default=False)
 
 
-def make_route_plan(perm: np.ndarray, fused: bool = True) -> RoutePlan:
-    """Host: compute stage masks for y = x[perm] (|perm| = 2^k >= 256)."""
+def make_route_plan(perm: np.ndarray, fused: bool = True,
+                    flags_fwd: Optional[np.ndarray] = None,
+                    flags_inv: Optional[np.ndarray] = None) -> RoutePlan:
+    """Host: compute stage masks for y = x[perm] (|perm| = 2^k >= 256).
+
+    flags_fwd/flags_inv: optional uint8 [n] per-slot advance metadata (bit0 =
+    slot holds a real edge, bit1 = self-loop edge) indexed by the forward /
+    inverse OUTPUT slot order — packed into spare mask-word bits for the fused
+    finish epilogue."""
     from .. import native
     in_m, out_m, lane = native.benes_route(perm)
     lane2d = lane.reshape(-1, 128)
@@ -59,19 +86,23 @@ def make_route_plan(perm: np.ndarray, fused: bool = True) -> RoutePlan:
     n = len(perm)
     mid_words = big_words = None
     kb = kq = 0
+    has_flags = False
     if fused and n >= 1024:                      # fused needs >= 8 rows of 128
         from .pallas.route_fused import build_word_masks, split_levels
         kb, kq = split_levels(n)
-        mid_np, big_np = build_word_masks(in_m, out_m, n)
+        mid_np, big_np = build_word_masks(in_m, out_m, n, lane_fwd=lane2d,
+                                          flags_fwd=flags_fwd,
+                                          flags_inv=flags_inv)
         mid_words = jnp.asarray(mid_np)
         big_words = None if big_np is None else jnp.asarray(big_np)
+        has_flags = flags_fwd is not None or flags_inv is not None
     return RoutePlan(
         in_masks=jnp.asarray(np.packbits(in_m, axis=1, bitorder="little")),
         out_masks=jnp.asarray(np.packbits(out_m, axis=1, bitorder="little")),
         lane_idx=jnp.asarray(lane2d),
         lane_inv=jnp.asarray(lane_inv),
         mid_words=mid_words, big_words=big_words,
-        n=n, levels=in_m.shape[0], kb=kb, kq=kq)
+        n=n, levels=in_m.shape[0], kb=kb, kq=kq, has_flags=has_flags)
 
 
 def _unpack_bits(packed: jax.Array, n: int) -> jax.Array:

@@ -41,16 +41,28 @@ def group_reduce_flat(msg2d: jax.Array, width: int, mon, rows: int) -> jax.Array
     m = msg2d.shape[0]
     if mon.name == "add" and jnp.issubdtype(msg2d.dtype, jnp.floating):
         red = jnp.dot(msg2d, _group_matrix(width),
-                      preferred_element_type=jnp.float32)
+                      preferred_element_type=jnp.float32,
+                  precision=jax.lax.Precision.HIGHEST)
         return red.reshape(-1)[:rows].astype(msg2d.dtype)
     if mon.name == "or" and msg2d.dtype == jnp.dtype(bool):
         red = jnp.dot(msg2d.astype(jnp.float32), _group_matrix(width),
-                      preferred_element_type=jnp.float32)
+                      preferred_element_type=jnp.float32,
+                  precision=jax.lax.Precision.HIGHEST)
         return (red > 0).reshape(-1)[:rows]
     if mon.name == "add" and jnp.issubdtype(msg2d.dtype, jnp.integer):
-        # exact for |values| < 2^24 per slot and row sums < 2^24
-        red = jnp.dot(msg2d.astype(jnp.float32), _group_matrix(width),
-                      preferred_element_type=jnp.float32)
+        # exact for ANY int32: split each value into hi = v >> 16 (arithmetic,
+        # sign-carrying, |hi| < 2^15) and lo = v & 0xFFFF (< 2^16); each partial
+        # row sum stays < 128 * 2^16 = 2^23 < 2^24, so both f32 matmuls are exact
+        # and v = hi * 65536 + lo recombines losslessly
+        g = _group_matrix(width)
+        hi = jnp.dot((msg2d >> 16).astype(jnp.float32), g,
+                     preferred_element_type=jnp.float32,
+                  precision=jax.lax.Precision.HIGHEST)
+        lo = jnp.dot((msg2d & 0xFFFF).astype(jnp.float32), g,
+                     preferred_element_type=jnp.float32,
+                  precision=jax.lax.Precision.HIGHEST)
+        red = hi.astype(jnp.int64 if msg2d.dtype.itemsize > 4 else jnp.int32
+                        ) * 65536 + lo.astype(jnp.int32)
         return red.reshape(-1)[:rows].astype(msg2d.dtype)
     red = mon.reduce_axis(msg2d.reshape(m, 128 // width, width), 2)
     return red.reshape(-1)[:rows]
@@ -60,17 +72,31 @@ def broadcast_rows_flat(x_slice: jax.Array, width: int, m: int) -> jax.Array:
     """[rows_pad] per-vertex values -> (m, 128) lane-major slot values (each
     vertex-row's value repeated across its width-slot group).
 
-    Uses an f32 matmul: exact for floats, bools, and ints < 2^24 (vertex ids and
-    levels satisfy this for graphs under 16M vertices per shard). Infinities are
-    encoded around the matmul (inf * 0 would poison the row sums with NaN)."""
+    Uses an f32 matmul against the 0/1 group matrix. Floats have infinities
+    encoded around the matmul (inf * 0 would poison the row sums with NaN).
+    Integers are split into hi/lo 16-bit halves (two matmuls) so the broadcast
+    is EXACT for any int32 value — CC/SV labels can exceed 2^24 on large shards
+    and a single f32 matmul would silently corrupt them."""
     groups = 128 // width
+    gm = _group_matrix(width).T
+    if jnp.issubdtype(x_slice.dtype, jnp.integer):
+        x2 = x_slice.reshape(m, groups)
+        hi = jnp.dot((x2 >> 16).astype(jnp.float32), gm,
+                     preferred_element_type=jnp.float32,
+                  precision=jax.lax.Precision.HIGHEST)
+        lo = jnp.dot((x2 & 0xFFFF).astype(jnp.float32), gm,
+                     preferred_element_type=jnp.float32,
+                  precision=jax.lax.Precision.HIGHEST)
+        out = (hi.astype(jnp.int64 if x2.dtype.itemsize > 4 else jnp.int32)
+               * 65536 + lo.astype(jnp.int32))
+        return out.astype(x_slice.dtype)
     x2 = x_slice.reshape(m, groups).astype(jnp.float32)
     is_float = jnp.issubdtype(x_slice.dtype, jnp.floating)
     BIG = jnp.float32(1e30)
     if is_float:
         x2 = jnp.clip(x2, -BIG, BIG)
-    out = jnp.dot(x2, _group_matrix(width).T,
-                  preferred_element_type=jnp.float32)
+    out = jnp.dot(x2, gm, preferred_element_type=jnp.float32,
+                  precision=jax.lax.Precision.HIGHEST)
     if is_float:
         out = jnp.where(out >= BIG, jnp.inf, out)
         out = jnp.where(out <= -BIG, -jnp.inf, out)

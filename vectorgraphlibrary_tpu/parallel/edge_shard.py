@@ -37,11 +37,6 @@ class ShardedEdgeGraph:
     e: int = dataclasses.field(metadata=dict(static=True), default=0)
     e_pad: int = dataclasses.field(metadata=dict(static=True), default=0)
 
-    @property
-    def v_local(self) -> int:
-        """Per-device vertex range length (set by build for the mesh's n_v)."""
-        return self.v_pad
-
 
 def build_sharded_edge_graph(ec: EdgesContainer, mesh) -> ShardedEdgeGraph:
     n_e = mesh.shape[EDGE_AXIS]

@@ -41,6 +41,8 @@ def build_parser(app: str = "vgl") -> argparse.ArgumentParser:
     p.add_argument("-purdoms", dest="variant_purdoms", action="store_true")
     p.add_argument("-dev", "-device", dest="device", default="tpu")
     p.add_argument("-seed", dest="seed", type=int, default=42)
+    p.add_argument("-no-prim-stats", dest="prim_stats", action="store_false",
+                   help="skip the per-primitive profiling pass after the run")
     return p
 
 
@@ -65,4 +67,5 @@ def parse_args(argv=None, app: str = "vgl") -> VGLConfig:
         algorithm_variant=variant,
         device=ns.device,
         seed=ns.seed,
+        prim_stats=ns.prim_stats,
     )
