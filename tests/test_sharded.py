@@ -1,0 +1,102 @@
+"""Sharded flagship container (ShardedTileGraph): correctness on the 8-device
+virtual CPU mesh (shard_map path) and the single-chip sequential path (scan).
+
+The sharded graph runs the SAME routed tiled advance per shard; these tests pin
+per-algorithm equality with the sequential oracles, matching the reference's
+MPI -check story (SURVEY.md §4.5)."""
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from vectorgraphlibrary_tpu.io import generation
+from vectorgraphlibrary_tpu.models import common, pr as prm, bfs as bfsm, \
+    sssp as ssspm, cc as ccm, hits as hitsm
+from vectorgraphlibrary_tpu.parallel.shard_build import (import_sharded,
+                                                         shard_edge_values)
+from vectorgraphlibrary_tpu.parallel import sharded
+from vectorgraphlibrary_tpu.parallel.mesh import make_mesh
+from vectorgraphlibrary_tpu.utils import verify
+
+
+@pytest.fixture(scope="module")
+def setup():
+    ec = generation.rmat(scale=10, avg_degree=8, seed=3, weighted=True)
+    hosts = []
+    sg = import_sharded(ec, 8, _host_out=hosts)
+    mesh = make_mesh(8, 1)
+    return ec, sg, hosts, mesh
+
+
+def test_stacked_static_shapes(setup):
+    ec, sg, hosts, mesh = setup
+    # every array leaf carries the shard dim; static metadata unified
+    leaves = jax.tree.leaves(sg.stacked)
+    assert all(l.shape[0] == 8 for l in leaves)
+    assert int(sg.edges_per_shard.sum()) == ec.edges_count
+    # per-shard view reconstructs a usable graph
+    g0 = sg.shard(0)
+    assert g0.v == ec.vertices_count and g0.advance_route.has_flags
+
+
+def test_sharded_pagerank_matches_oracle(setup):
+    ec, sg, hosts, mesh = setup
+    run = sharded.make_pr_sharded(sg, mesh, ec, max_iterations=30)
+    got = np.asarray(run())[:sg.v]
+    want = prm.seq_page_rank(ec, max_iterations=30, use_convergence=False)
+    np.testing.assert_allclose(got, want, atol=1e-6)
+
+
+def test_sharded_pagerank_scan_matches_oracle(setup):
+    ec, sg, hosts, mesh = setup
+    got = np.asarray(sharded.pagerank_sharded_scan(
+        sg, ec, max_iterations=30))[:sg.v]
+    want = prm.seq_page_rank(ec, max_iterations=30, use_convergence=False)
+    np.testing.assert_allclose(got, want, atol=1e-6)
+
+
+def test_sharded_bfs_matches_oracle(setup):
+    ec, sg, hosts, mesh = setup
+    src = common.select_random_source(ec, seed=1)
+    fn = sharded.make_bfs_sharded(sg, mesh)
+    got = np.asarray(fn(sg.stacked, jnp.int32(src)))[:sg.v]
+    want = bfsm.seq_top_down(ec, src)
+    assert verify.verify_results(got, want) == 0
+
+
+def test_sharded_sssp_matches_oracle(setup):
+    ec, sg, hosts, mesh = setup
+    src = common.select_random_source(ec, seed=5)
+    wst = shard_edge_values(ec.weights, sg, ec, hosts)
+    fn = sharded.make_sssp_sharded(sg, mesh, wst)
+    got = np.asarray(fn(sg.stacked, wst, jnp.int32(src)))[:sg.v]
+    want = ssspm.seq_dijkstra(ec, src)
+    assert verify.verify_results(got, want) == 0
+
+
+def test_sharded_cc_matches_oracle(setup):
+    ec, sg, hosts, mesh = setup
+    fn = sharded.make_cc_sharded(sg, mesh)
+    got = np.asarray(fn(sg.stacked))[:sg.v]
+    want = ccm.seq_cc(ec)
+    assert verify.equal_components(got, want) == 0
+
+
+def test_sharded_hits_matches_oracle(setup):
+    ec, sg, hosts, mesh = setup
+    fn = sharded.make_hits_sharded(sg, mesh, iterations=15)
+    auth, hub = fn(sg.stacked)
+    wa, wh = hitsm.seq_hits(ec, iterations=15)
+    np.testing.assert_allclose(np.asarray(auth)[:sg.v], wa, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(hub)[:sg.v], wh, atol=1e-4)
+
+
+def test_sharded_nonuniform_shard_count():
+    """Shard count that doesn't divide v, graph with hubs in one shard only."""
+    ec = generation.rmat(scale=9, avg_degree=6, seed=11)
+    sg = import_sharded(ec, 3)
+    mesh = make_mesh(3, 1, jax.devices()[:3])
+    run = sharded.make_pr_sharded(sg, mesh, ec, max_iterations=20)
+    got = np.asarray(run())[:sg.v]
+    want = prm.seq_page_rank(ec, max_iterations=20, use_convergence=False)
+    np.testing.assert_allclose(got, want, atol=1e-6)

@@ -17,6 +17,30 @@ from . import distributed as D
 
 def run_dryrun(n_devices: int) -> None:
     devices = jax.devices()[:n_devices]
+
+    # ---- the flagship path: sharded TILE_CSR (tiled + routed advance per
+    # shard, psum/pmin merges), full training-step analog: PR + BFS + SSSP ----
+    from .shard_build import import_sharded, shard_edge_values
+    from . import sharded
+    ec1 = generation.rmat(scale=9, avg_degree=8, seed=1, weighted=True)
+    flat_mesh = make_mesh(n_devices, 1, devices)
+    hosts = []
+    sg = import_sharded(ec1, n_devices, _host_out=hosts)
+    run_pr = sharded.make_pr_sharded(sg, flat_mesh, ec1, max_iterations=5)
+    ranks = run_pr()
+    assert ranks.shape == (sg.v_pad,)
+    s = float(jnp.sum(ranks))
+    assert 0.5 < s < 1.5, s
+    bfs_fn = sharded.make_bfs_sharded(sg, flat_mesh)
+    levels = bfs_fn(sg.stacked, jnp.int32(0))
+    assert int(jnp.sum(levels > 0)) >= 1
+    wst = shard_edge_values(ec1.weights, sg, ec1, hosts)
+    sssp_fn = sharded.make_sssp_sharded(sg, flat_mesh, wst)
+    dist = sssp_fn(sg.stacked, wst, jnp.int32(0))
+    assert bool(jnp.isfinite(dist).any())
+    jax.block_until_ready((ranks, levels, dist))
+
+    # ---- the 2-D (edge x vertex) COO fallback path ----
     n_v = 2 if n_devices % 2 == 0 and n_devices >= 2 else 1
     mesh = make_mesh(n_devices // n_v, n_v, devices)
 
