@@ -38,12 +38,10 @@ def main():
         jax.config.update("jax_platforms", "cpu")
 
     import jax.numpy as jnp
-    from jax.sharding import NamedSharding, PartitionSpec as P
     from vectorgraphlibrary_tpu.io import generation
-    from vectorgraphlibrary_tpu.parallel import distributed as D
-    from vectorgraphlibrary_tpu.parallel.edge_shard import \
-        build_sharded_edge_graph
-    from vectorgraphlibrary_tpu.parallel.mesh import make_mesh, VERTEX_AXIS
+    from vectorgraphlibrary_tpu.parallel import sharded
+    from vectorgraphlibrary_tpu.parallel.shard_build import import_sharded
+    from vectorgraphlibrary_tpu.parallel.mesh import make_mesh
 
     counts = [int(x) for x in args.devices.split(",")]
     avail = len(jax.devices())
@@ -55,28 +53,35 @@ def main():
             continue
         scale = args.s + (n.bit_length() - 1 if args.weak else 0)
         ec = generation.rmat(scale=scale, avg_degree=args.e, seed=42)
+        # the FLAGSHIP distributed path: sharded TILE_CSR, one dst-range shard
+        # per device, routed advance per shard, full loop inside shard_map
+        sg = import_sharded(ec, n)
         mesh = make_mesh(n, 1, jax.devices()[:n])
-        g = build_sharded_edge_graph(ec, mesh)
-        step = D.make_pr_step(g, mesh)
-        ranks = jax.device_put(
-            jnp.where(jnp.arange(g.v_pad) < g.v, 1.0 / g.v,
-                      0.0).astype(jnp.float32),
-            NamedSharding(mesh, P(VERTEX_AXIS)))
-        ranks = jax.block_until_ready(step(g.src, g.dst, g.out_degrees, ranks))
+        run = sharded.make_pr_sharded(sg, mesh, ec,
+                                      max_iterations=args.iters)
+        jax.block_until_ready(run())          # compile
         t0 = time.perf_counter()
-        for _ in range(args.iters):
-            ranks = step(g.src, g.dst, g.out_degrees, ranks)
-        jax.block_until_ready(ranks)
+        jax.block_until_ready(run())
         dt = (time.perf_counter() - t0) / args.iters
         eps = ec.edges_count / dt
         if base_eps is None:
             base_eps = eps / n if args.weak else eps
-        eff = (eps / (base_eps * n)) if not args.weak else eps / (base_eps * n)
+            base_dt = dt
+        if args.cpu:
+            # virtual mesh on shared physical cores: n devices cannot run
+            # faster in aggregate — ideal strong scaling is CONSTANT wall
+            # time while per-device work drops n-fold. Efficiency here =
+            # t_1/t_n (collective+replication overhead shows as growth).
+            eff = base_dt / dt if not args.weak else base_dt / dt
+        else:
+            eff = eps / (base_eps * n)
         results.append(dict(devices=n, scale=scale, edges=ec.edges_count,
+                            edges_per_device=ec.edges_count // n,
                             s_per_iter=round(dt, 5), mteps=round(eps / 1e6, 1),
                             efficiency=round(eff, 3)))
         print(results[-1])
     print(json.dumps({"mode": "weak" if args.weak else "strong",
+                      "virtual_mesh": bool(args.cpu),
                       "results": results}))
 
 

@@ -55,13 +55,37 @@ def test_triangle_count(tiny):
     assert n > 0
 
 
+@pytest.mark.parametrize("scale,deg", [(10, 8), (12, 6)])
+def test_triangle_count_scales(scale, deg):
+    ec = generation.rmat(scale=scale, avg_degree=deg, seed=scale)
+    assert tc.vgl_triangle_count(ec) == tc.seq_triangle_count(ec)
+
+
+def test_triangle_count_multiblock(small_rmat):
+    """Column-blocked bitmap path: force several blocks."""
+    ec = small_rmat
+    want = tc.seq_triangle_count(ec)
+    assert tc.vgl_triangle_count(ec, block_bits=256) == want
+    assert tc.vgl_triangle_count(ec) == want
+
+
 def test_label_propagation(tiny):
     ec, g = tiny
     labels, iters = lp.vgl_label_propagation(g, max_iterations=4)
     got = np.asarray(labels.values)[:g.v]
     want = lp.seq_label_propagation(ec, max_iterations=4)
-    # huge-row sampling approximation: scale-7 graphs have no huge rows
-    assert g.incoming.huge is None or g.incoming.huge.n_rows == 0
+    mismatches = int((got != want).sum())
+    assert mismatches == 0, mismatches
+
+
+def test_label_propagation_hub_graph(small):
+    """Exact mode on HUGE rows: the scale-10 fixture has hub vertices past the
+    huge-degree threshold, exercising the multi-chunk sorted-run path."""
+    ec, g = small
+    assert g.incoming.huge is not None and g.incoming.huge.n_rows > 0
+    labels, iters = lp.vgl_label_propagation(g, max_iterations=3)
+    got = np.asarray(labels.values)[:g.v]
+    want = lp.seq_label_propagation(ec, max_iterations=3)
     mismatches = int((got != want).sum())
     assert mismatches == 0, mismatches
 
@@ -83,6 +107,23 @@ def test_max_flow(tiny):
     got = mf.vgl_ford_fulkerson(ec, g, src, sink)
     want = mf.seq_ford_fulkerson(ec, src, sink)
     assert abs(got - want) < 1e-6, (got, want)
+
+
+def test_max_flow_scale12():
+    """Device Edmonds-Karp at scale 12 (VERDICT #8 'finishes in seconds'):
+    whole algorithm is one jit — BFS, path walk, residual updates on device."""
+    ec = generation.rmat(scale=12, avg_degree=8, seed=5)
+    rng = np.random.default_rng(9)
+    ec = ec.__class__(ec.src_ids, ec.dst_ids, ec.vertices_count,
+                      weights=rng.integers(1, 16, ec.edges_count)
+                      .astype(np.float32))
+    src = common.select_random_source(ec, seed=2)
+    sinks = np.flatnonzero(np.bincount(ec.dst_ids,
+                                       minlength=ec.vertices_count))
+    sink = int(sinks[-1]) if sinks[-1] != src else int(sinks[-2])
+    got = mf.vgl_ford_fulkerson(ec, None, src, sink)
+    want = mf.seq_ford_fulkerson(ec, src, sink)
+    assert got == want, (got, want)
 
 
 def test_gnn_aggregate_mean(small):

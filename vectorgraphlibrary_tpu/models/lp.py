@@ -5,9 +5,10 @@ mode-of-neighbor-labels until stable. The reference ships GPU + sequential varia
 only (no NEC implementation, SURVEY.md §2.5); here: a TPU variant computing the
 neighborhood mode per degree bucket by sorting each padded ELL row (jnp.sort along
 the width axis) and taking the longest run — a fully vectorized mode with no
-scatter. Huge-class rows (deg > cfg.huge_degree_threshold) use their first
-row-chunk's mode (a documented sampling approximation for hub vertices, akin to the
-reference GPU active-condition policies in lp_constants.h).
+scatter. Huge-class rows (deg > cfg.huge_degree_threshold) are EXACT too: one
+multi-key lax.sort of the whole huge tile by (row, label), per-element run
+lengths, then two segment reductions (max run length per row, then min label
+among max-length runs — ties break to the smaller label like the buckets).
 """
 from __future__ import annotations
 
@@ -55,16 +56,30 @@ def _lp_step(graph: VGLGraph, labels_g: jax.Array):
         h = dg.huge
         vals = jnp.take(labels_g, h.adj, mode="clip")
         vals = jnp.where(h.adj < v_pad, vals, _BIG)
-        srt = jnp.sort(vals, axis=1)
-        chunk_mode = _row_mode(srt, _BIG)
-        # first chunk of each row (chunks are row-major per vertex)
-        first = jnp.concatenate([
-            jnp.ones((1,), bool), h.seg_ids[1:] != h.seg_ids[:-1]])
-        row_mode = jnp.full((h.n_rows + 1,), _BIG, jnp.int32).at[
-            jnp.where(first, h.seg_ids, h.n_rows)].min(
-            chunk_mode.astype(jnp.int32), mode="drop")
+        # EXACT mode across all chunks of each huge row: flatten the tile,
+        # sort by (row, label), run-length per element, then per-row
+        # max-run-length and min-label-among-max-runs segment reductions
+        rows_flat = jnp.broadcast_to(h.seg_ids[:, None],
+                                     vals.shape).reshape(-1)
+        vals_flat = vals.reshape(-1)
+        rows_s, vals_s = jax.lax.sort((rows_flat, vals_flat), num_keys=2)
+        n = vals_s.shape[0]
+        idx = jnp.arange(n, dtype=jnp.int32)
+        newrun = jnp.concatenate([
+            jnp.ones((1,), bool),
+            (vals_s[1:] != vals_s[:-1]) | (rows_s[1:] != rows_s[:-1])])
+        start = jax.lax.cummax(jnp.where(newrun, idx, -1))
+        runlen = jnp.where(vals_s < _BIG, idx - start + 1, 0)
+        nseg = h.n_rows + 1
+        seg = jnp.minimum(rows_s, nseg - 1)
+        maxlen = jax.ops.segment_max(runlen, seg, nseg,
+                                     indices_are_sorted=True)
+        is_best = (runlen > 0) & (runlen == jnp.take(maxlen, seg))
+        best_label = jax.ops.segment_min(
+            jnp.where(is_best, vals_s, _BIG), seg, nseg,
+            indices_are_sorted=True)
         fallback = jax.lax.dynamic_slice_in_dim(labels_g, 0, h.n_rows)
-        got = row_mode[:h.n_rows]
+        got = best_label[:h.n_rows]
         parts.append(jnp.where(got < _BIG, got, fallback))
         covered = h.n_rows
     for b in dg.buckets:

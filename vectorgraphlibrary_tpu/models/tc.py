@@ -91,21 +91,101 @@ def seq_reachability(ec: EdgesContainer, sources) -> np.ndarray:
 
 
 # ---------------------------------------------------------------- triangle counting
-def vgl_triangle_count(ec: EdgesContainer) -> int:
-    """Triangle count on the undirected simple graph (host-vectorized merge
-    intersection over CSR; the device SDDMM variant arrives with the GNN ops)."""
+def _oriented_simple_edges(ec: EdgesContainer):
+    """Degree-oriented deduped edge list of the undirected simple graph:
+    (u, v) kept iff (deg, id) of u < (deg, id) of v — every triangle appears
+    exactly once as a directed wedge closure."""
+    v = ec.vertices_count
+    s = np.concatenate([ec.src_ids, ec.dst_ids]).astype(np.int64)
+    d = np.concatenate([ec.dst_ids, ec.src_ids]).astype(np.int64)
+    keep = s != d
+    s, d = s[keep], d[keep]
+    key = np.unique(s * v + d)              # dedupe parallel edges
+    s, d = key // v, key % v
+    deg = np.bincount(s, minlength=v)       # undirected simple degree
+    rank = deg.astype(np.int64) * v + np.arange(v)   # total order (deg, id)
+    fwd = rank[s] < rank[d]
+    return s[fwd].astype(np.int32), d[fwd].astype(np.int32)
+
+
+@functools.partial(jax.jit, static_argnums=(3,))
+def _tc_block_count(bits: jax.Array, u_e: jax.Array, v_e: jax.Array,
+                    chunk: int) -> jax.Array:
+    """sum over edges of popcount(bits[u] & bits[v]); edges padded to a chunk
+    multiple with u=v=zero-row index."""
+    n_chunks = u_e.shape[0] // chunk
+
+    def body(i, acc):
+        us = jax.lax.dynamic_slice_in_dim(u_e, i * chunk, chunk)
+        vs = jax.lax.dynamic_slice_in_dim(v_e, i * chunk, chunk)
+        ru = jnp.take(bits, us, axis=0)
+        rv = jnp.take(bits, vs, axis=0)
+        cnt = jax.lax.population_count(ru & rv)
+        return acc + jnp.sum(cnt, dtype=jnp.int64)
+
+    return jax.lax.fori_loop(0, n_chunks, body, jnp.int64(0))
+
+
+@functools.partial(jax.jit, static_argnums=(2, 3, 4))
+def _tc_build_bits(u_blk: jax.Array, v_local: jax.Array, v_rows: int,
+                   words: int, dummy_row: int) -> jax.Array:
+    """Scatter one column-block's oriented edges into a [v_rows+1, words]
+    bitmap (last row stays zero — the edge-padding target)."""
+    bits = jnp.zeros((v_rows + 1, words), jnp.int32)
+    word = v_local >> 5
+    bit = jnp.int32(1) << (v_local & 31)
+    # deduped edges → each (row, word, bitpos) unique → add == or
+    return bits.at[u_blk, word].add(bit, mode="drop")
+
+
+def vgl_triangle_count(ec: EdgesContainer, block_bits: Optional[int] = None,
+                       edge_chunk: int = 1 << 13) -> int:
+    """DEVICE triangle count (BASELINE.json SDDMM-style config): for each
+    degree-oriented edge (u,v), |N+(u) ∩ N+(v)| via column-blocked dense
+    bitmaps — per block, N+ rows become [v, W/32] int32 bitmaps (built by one
+    device scatter of the block's edges) and every edge contributes one
+    128-lane AND + popcount row pass. No sorting, no merge loops: total work
+    is e·v/32 word-ops, blocked so device memory stays ≤ ~0.5 GB.
+    (The VPU analog of the reference-era bitmap set intersection.)"""
+    v = ec.vertices_count
+    u_e, v_e = _oriented_simple_edges(ec)
+    e_plus = len(u_e)
+    if e_plus == 0:
+        return 0
+    if block_bits is None:
+        # v rows × (block_bits/32) int32 words ≤ ~0.5 GB
+        block_bits = int(min(max(1 << 10, (1 << 32) // max(v, 1)), 1 << 20))
+    block_bits = max(32, block_bits)
+    words = block_bits // 32
+
+    e_pad = -(-e_plus // edge_chunk) * edge_chunk
+    u_pad = np.full(e_pad, v, np.int32)      # dummy zero row
+    v_pad_arr = np.full(e_pad, v, np.int32)
+    u_pad[:e_plus] = u_e
+    v_pad_arr[:e_plus] = v_e
+    u_dev = jnp.asarray(u_pad)
+    v_dev = jnp.asarray(v_pad_arr)
+
+    total = 0
+    for c0 in range(0, v, block_bits):
+        m = (v_e >= c0) & (v_e < c0 + block_bits)
+        ub = jnp.asarray(u_e[m])
+        vb = jnp.asarray(v_e[m] - c0)
+        bits = _tc_build_bits(ub, vb, v, words, v)
+        total += int(_tc_block_count(bits, u_dev, v_dev, edge_chunk))
+    return total
+
+
+def seq_triangle_count(ec: EdgesContainer) -> int:
+    """Independent oracle: SciPy masked sparse product trace(A·A·A)/6."""
     import scipy.sparse as sp
     v = ec.vertices_count
     s = np.concatenate([ec.src_ids, ec.dst_ids])
     d = np.concatenate([ec.dst_ids, ec.src_ids])
     keep = s != d
-    a = sp.csr_matrix((np.ones(keep.sum(), np.int8), (s[keep], d[keep])),
+    # int64 data: int8 path counts overflow on hub-heavy graphs
+    a = sp.csr_matrix((np.ones(keep.sum(), np.int64), (s[keep], d[keep])),
                       shape=(v, v))
     a.data[:] = 1                      # dedupe parallel edges
     a2 = a @ a
-    tri = int((a2.multiply(a)).sum()) // 6
-    return tri
-
-
-def seq_triangle_count(ec: EdgesContainer) -> int:
-    return vgl_triangle_count(ec)
+    return int((a2.multiply(a)).sum()) // 6

@@ -69,7 +69,6 @@ class ShardedTileGraph:
     v: int = dataclasses.field(metadata=dict(static=True), default=0)
     v_pad: int = dataclasses.field(metadata=dict(static=True), default=0)
     e: int = dataclasses.field(metadata=dict(static=True), default=0)
-    dst_block: int = dataclasses.field(metadata=dict(static=True), default=0)
 
     def shard(self, s: int) -> VGLGraph:
         """Host-side view of one shard (for debugging/tests)."""
@@ -88,8 +87,11 @@ def import_sharded(ec: EdgesContainer, n_shards: int,
     unified layouts, stack. _host_out receives [(h_out, h_in), ...] per shard
     for weight layout."""
     v, e = ec.vertices_count, ec.edges_count
-    block = -(-v // n_shards)                  # ceil
-    shard_id = ec.dst_ids // block
+    # hash (mod) destination partitioning: contiguous ranges concentrate
+    # power-law RMAT hubs (low original ids) in shard 0, and the unified
+    # layout would then size EVERY shard like shard 0 — mod-S spreads the
+    # skew so per-shard work actually drops n-fold
+    shard_id = ec.dst_ids % n_shards
     selfloop = ec.src_ids == ec.dst_ids
 
     parts = []
@@ -138,7 +140,7 @@ def import_sharded(ec: EdgesContainer, n_shards: int,
     return ShardedTileGraph(
         stacked=stacked,
         edges_per_shard=jnp.asarray([len(p[0]) for p in parts], jnp.int32),
-        n_shards=n_shards, v=v, v_pad=v_pad, e=e, dst_block=block)
+        n_shards=n_shards, v=v, v_pad=v_pad, e=e)
 
 
 def _pad_edges(h: HostDirectedCSR, e_pad: int) -> None:
@@ -159,8 +161,7 @@ def shard_edge_values(coo_values: np.ndarray, sg: ShardedTileGraph,
                       pad_value=0):
     """Per-shard EdgeArrays (stacked) for COO-ordered edge values."""
     from ..graph.edges import build_edge_array_from_host
-    block = sg.dst_block
-    shard_id = ec.dst_ids // block
+    shard_id = ec.dst_ids % sg.n_shards
     arrays = []
     for s in range(sg.n_shards):
         m = shard_id == s
