@@ -178,9 +178,19 @@ def import_graph(ec: EdgesContainer, cfg: VGLConfig = DEFAULT_CONFIG,
                  _host_out: Optional[list] = None,
                  build_route: bool = True) -> VGLGraph:
     """COO → VGLGraph (both directions), reference vgl_graph.hpp:60-64.
-    build_route: also compute the Beneš advance route (gather-free advance)."""
+    build_route: also compute the Beneš advance route (gather-free advance).
+
+    Format dispatch (reference create_containers, vgl_graph.hpp:23-54):
+    TILE_CSR/CSR_VG build the padded tile classes + routes; CSR and EDGES_LIST
+    keep only the degree-sorted CSR arrays — their advances run the
+    edge-parallel segment-reduce / scatter kernels (ops/advance.py)."""
     h_out = build_directed_csr(ec.src_ids, ec.dst_ids, ec.vertices_count, cfg)
     h_in = build_directed_csr(ec.dst_ids, ec.src_ids, ec.vertices_count, cfg)
+    if graph_format in (GraphFormat.CSR, GraphFormat.EDGES_LIST):
+        # no tiles, no routes: strip the tile classes the builder prepared
+        for h in (h_out, h_in):
+            h.buckets = []
+            h.huge = None
     if _host_out is not None:
         _host_out.extend([h_out, h_in])
     out = _to_device_directed(h_out)

@@ -66,6 +66,50 @@ def _assemble(parts, covered, v_pad, ident, dtype):
     return jnp.concatenate(parts) if len(parts) > 1 else parts[0]
 
 
+def _slot_rows(dg: DeviceDirectedGraph) -> jax.Array:
+    """Owning row (sorted vertex id) of each CSR edge slot; pad slots → v_pad."""
+    slots = jnp.arange(dg.e_pad, dtype=jnp.int32)
+    return jnp.searchsorted(dg.row_ptr[1:], slots, side="right").astype(
+        jnp.int32)
+
+
+def _advance_pull_csr(graph: VGLGraph, src_arrays, edge_op, combine,
+                      dst_arrays, edge_values, src_active, direction,
+                      out_dtype, scatter: bool) -> jax.Array:
+    """Advance over the plain CSR / EDGES_LIST containers (reference 4-way
+    container switch, common/advance.hpp:32-111): edge-parallel gather of
+    source values over col_idx, then either a SORTED segment reduction over
+    row_ptr-derived rows (CSR) or a functional scatter-combine (EDGES_LIST —
+    the TPU-safe stand-in for the reference's flat COO scatter stores)."""
+    mon = M.get(combine)
+    dg = graph.direction(direction)
+    dst_arrays = dst_arrays or {}
+    rows = _slot_rows(dg)
+    sv = {k: jnp.take(a, dg.col_idx, mode="clip")[:, None]
+          for k, a in src_arrays.items()}
+    dv = {k: jnp.take(a, rows, mode="clip")[:, None]
+          for k, a in dst_arrays.items()}
+    w = None if edge_values is None else edge_values.flat[:, None]
+    probe_w = None if w is None else w[:1]
+    probe = edge_op({k: a[:1] for k, a in sv.items()},
+                    {k: a[:1] for k, a in dv.items()}, probe_w)
+    dtype = out_dtype or probe.dtype
+    ident = mon.identity(dtype)
+    msg = edge_op(sv, dv, w).astype(dtype)[:, 0]
+    valid = dg.col_idx < dg.v_pad
+    if src_active is not None:
+        valid = valid & jnp.take(src_active, dg.col_idx, mode="clip")
+    if scatter:
+        out = jnp.full((graph.v_pad,), ident, dtype)
+        idx = jnp.where(valid, rows, graph.v_pad)
+        return mon.scatter_at(out, idx, jnp.where(valid, msg, ident),
+                              mode="drop")
+    msg = jnp.where(valid, msg, ident)
+    seg = jnp.minimum(rows, graph.v_pad)
+    return mon.segment_reduce(msg, seg, graph.v_pad + 1,
+                              indices_are_sorted=True)[:graph.v_pad]
+
+
 def advance_pull(graph: VGLGraph,
                  src_arrays: Dict[str, jax.Array],
                  edge_op: EdgeOp,
@@ -78,7 +122,20 @@ def advance_pull(graph: VGLGraph,
     """Gather-based aggregate over incoming edges of every vertex (gather-mode
     advance, reference common_gather advance.hpp:116-123). Returns [v_pad] in the
     traversal direction's sorted ordering; zero-degree/padded rows get the monoid
-    identity. src_arrays: per-src-vertex inputs, [v_pad], same ordering."""
+    identity. src_arrays: per-src-vertex inputs, [v_pad], same ordering.
+
+    Container dispatch (the reference's advance.hpp:32-111 switch): TILE_CSR /
+    CSR_VG run the tiled kernels below; CSR runs the edge-parallel sorted
+    segment reduction; EDGES_LIST the edge-parallel scatter-combine."""
+    from ..config import GraphFormat
+    if graph.graph_format == GraphFormat.CSR:
+        return _advance_pull_csr(graph, src_arrays, edge_op, combine,
+                                 dst_arrays, edge_values, src_active,
+                                 direction, out_dtype, scatter=False)
+    if graph.graph_format == GraphFormat.EDGES_LIST:
+        return _advance_pull_csr(graph, src_arrays, edge_op, combine,
+                                 dst_arrays, edge_values, src_active,
+                                 direction, out_dtype, scatter=True)
     mon = M.get(combine)
     dg = graph.direction(direction)
     dst_arrays = dst_arrays or {}
@@ -515,8 +572,21 @@ def advance_cells(graph: VGLGraph,
     """Per-destination reduction over adjacency cells WITHOUT source values:
     msg = cell_op(src_ids, dst_ids, w). One pass over the tiles — for structural
     quantities (self-loop counts, filtered degrees)."""
+    from ..config import GraphFormat
     mon = M.get(combine)
     dg = graph.direction(direction)
+    if graph.graph_format in (GraphFormat.CSR, GraphFormat.EDGES_LIST):
+        rows = _slot_rows(dg)
+        w = None if edge_values is None else edge_values.flat[:, None]
+        probe = cell_op(dg.col_idx[:1][:, None], rows[:1][:, None],
+                        None if w is None else w[:1])
+        dtype = out_dtype or probe.dtype
+        ident = mon.identity(dtype)
+        msg = cell_op(dg.col_idx[:, None], rows[:, None], w).astype(dtype)[:, 0]
+        msg = jnp.where(dg.col_idx < dg.v_pad, msg, ident)
+        seg = jnp.minimum(rows, graph.v_pad)
+        return mon.segment_reduce(msg, seg, graph.v_pad + 1,
+                                  indices_are_sorted=True)[:graph.v_pad]
     probe = cell_op(dg.col_idx[:1][:, None], dg.col_idx[:1][:, None],
                     None if edge_values is None
                     else edge_values.flat[:1][:, None])
