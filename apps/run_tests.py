@@ -63,15 +63,42 @@ def parse_avg_perf(out: str):
 
 
 def graph_args(kind, scale, degree):
+    if kind == "load":                      # real-graph corpus entry
+        return ["-load", scale]             # scale slot carries the path
     base = ["-s", str(scale), "-e", str(degree)]
     return base + (["-ru"] if kind == "ru" else [])
+
+
+def real_graph_corpus():
+    """Locally cached KONECT graphs as ('load', path, name) rows (reference
+    real-graph tiers, settings.py:52-86; zero-egress environments use
+    whatever sits under .graphs/ — see io/corpus.py)."""
+    sys.path.insert(0, REPO)
+    from vectorgraphlibrary_tpu.io import corpus
+    rows = []
+    d = corpus.graph_dir()
+    for f in sorted(os.listdir(d)):
+        if f.endswith(".el_container"):
+            rows.append(("load", os.path.join(d, f),
+                         f[:-len(".el_container")]))
+    return rows
+
+
+def tier_graphs(tier):
+    if tier == "real":
+        rg = real_graph_corpus()
+        if not rg:
+            print("real tier: no cached corpus graphs under .graphs/ "
+                  "(zero-egress? see io/corpus.py)")
+        return rg
+    return TIERS[tier]
 
 
 def do_verify(tier, timeout, device):
     rows = []
     ok = True
     for app in APPS:
-        for kind, scale, degree in TIERS[tier]:
+        for kind, scale, degree in tier_graphs(tier):
             out, wall, to = run_app(
                 app, graph_args(kind, scale, degree) + ["-check", "-it", "1"],
                 timeout)
@@ -90,7 +117,7 @@ def do_verify(tier, timeout, device):
 def do_benchmark(tier, timeout, iters):
     rows = []
     for app in APPS:
-        for kind, scale, degree in TIERS[tier]:
+        for kind, scale, degree in tier_graphs(tier):
             out, wall, to = run_app(
                 app, graph_args(kind, scale, degree) + ["-it", str(iters)],
                 timeout)
@@ -116,7 +143,7 @@ def main():
     p = argparse.ArgumentParser()
     p.add_argument("--verify", action="store_true")
     p.add_argument("--benchmark", action="store_true")
-    p.add_argument("--tier", default="tiny", choices=list(TIERS))
+    p.add_argument("--tier", default="tiny", choices=list(TIERS) + ["real"])
     p.add_argument("--apps", default=None, help="comma-separated subset")
     p.add_argument("--timeout", type=int, default=DEFAULT_TIMEOUT)
     p.add_argument("--it", type=int, default=10)

@@ -56,6 +56,18 @@ def test_bfs_direction_optimizing_vs_oracle(setup):
         assert verify.verify_results(got, want) == 0
 
 
+def test_bfs_device_do_vs_oracle(setup):
+    """Fully device-resident DO-BFS (one jitted while_loop, lax.cond branch
+    selection) vs the oracle — both td-capable and bu-forcing capacities."""
+    ec, g, ea = setup
+    for seed, id_cap, edge_cap in ((2, 1 << 10, 1 << 13), (4, 64, 256)):
+        src = common.select_random_source(ec, seed=seed)
+        levels = bfs.vgl_bfs_device(g, src, id_cap=id_cap, edge_cap=edge_cap)
+        got = vgl.as_original_numpy(levels, g)
+        want = bfs.seq_top_down(ec, src)
+        assert verify.verify_results(got, want) == 0
+
+
 def test_bfs_on_uniform(setup_ru):
     ec, g, ea = setup_ru
     src = common.select_random_source(ec, seed=5)

@@ -86,6 +86,7 @@ class VGLConfig:
     avg_degree: int = 16                 # -e : edges per vertex
     synthetic_type: SyntheticGraphType = SyntheticGraphType.RMAT   # -rmat / -ru
     graph_format: GraphFormat = GraphFormat.TILE_CSR               # -format
+    autotune_format: bool = False        # -format auto: autotuner picks
     load_path: Optional[str] = None      # -load
     import_path: Optional[str] = None    # -import (KONECT text)
     store_walk_paths: bool = False       # RW: also return the full walk paths

@@ -140,6 +140,90 @@ def vgl_bfs(graph: VGLGraph, source_vertex: int, alpha: float = 15.0,
     return VertexArray(values=out, direction=S)
 
 
+@functools.partial(jax.jit, static_argnums=(2, 3, 4, 5))
+def _do_bfs_device_run(graph: VGLGraph, source_sorted_g, id_cap: int,
+                       edge_cap: int, alpha: float, beta: float):
+    """Fully device-resident direction-optimizing BFS: the whole level loop is
+    one lax.while_loop; each level picks top-down sparse push or bottom-up
+    dense pull via a traced Beamer test (lax.cond compiles both branches, runs
+    one) — zero host round-trips, the analog of the reference's hardwired
+    change_state machine (hardwired_do_bfs.hpp:925-990). State (levels) lives
+    in GATHER ordering; td steps route to/from SCATTER via the vertex route.
+
+    id_cap/edge_cap: static capacities for the sparse branch; levels whose
+    frontier exceeds them take the dense branch (always safe)."""
+    from ..graph.frontier import Frontier, compact_ids
+    v, e, v_pad = graph.v, graph.e, graph.v_pad
+    outdeg_g = common.to_direction(graph, graph.outgoing.degrees,
+                                   TraversalDirection.SCATTER, G)
+    outdeg_s = graph.outgoing.degrees
+
+    levels0 = jnp.full(v_pad, _INF32, jnp.int32).at[source_sorted_g].set(
+        FIRST_LEVEL)
+    size0 = jnp.int32(1)
+    nbrs0 = jnp.take(outdeg_g, source_sorted_g)
+
+    def td_branch(args):
+        levels_g, cur = args
+        levels_s = common.to_direction(graph, levels_g, G,
+                                       TraversalDirection.SCATTER)
+        mask_s = levels_s == cur
+        fr = Frontier(mask=mask_s, size=jnp.sum(mask_s, dtype=jnp.int32),
+                      neighbours_count=jnp.int32(0),
+                      direction=TraversalDirection.SCATTER)
+        ids, valid = compact_ids(fr, id_cap)
+        out_s = advance_push_sparse(
+            graph, ids, valid, edge_cap, {"l": levels_s},
+            lambda s, d, w: jnp.zeros_like(s["l"]) + (cur + 1),
+            "min", levels_s, direction=TraversalDirection.SCATTER)
+        newly_s = out_s < levels_s
+        new_levels_s = jnp.where(newly_s, cur + 1, levels_s)
+        levels_g2 = common.to_direction(graph, new_levels_s,
+                                        TraversalDirection.SCATTER, G)
+        size = jnp.sum(newly_s, dtype=jnp.int32)
+        nbrs = jnp.sum(jnp.where(newly_s, outdeg_s, 0), dtype=jnp.int32)
+        return levels_g2, size, nbrs
+
+    def bu_branch(args):
+        levels_g, cur = args
+        on = levels_g == cur
+        reached = advance_pull_value(graph, on, "or", direction=G)
+        newly = (levels_g == _INF32) & reached
+        size = jnp.sum(newly, dtype=jnp.int32)
+        nbrs = jnp.sum(jnp.where(newly, outdeg_g, 0), dtype=jnp.int32)
+        return jnp.where(newly, cur + 1, levels_g), size, nbrs
+
+    def cond(state):
+        levels, size, nbrs, cur, unexplored = state
+        return size > 0
+
+    def body(state):
+        levels, size, nbrs, cur, unexplored = state
+        use_td = (nbrs.astype(jnp.float32)
+                  < unexplored.astype(jnp.float32) / alpha) \
+            & (size < id_cap) & (nbrs < edge_cap)
+        levels, dsize, dnbrs = jax.lax.cond(use_td, td_branch, bu_branch,
+                                            (levels, cur))
+        return (levels, dsize, dnbrs, cur + 1,
+                jnp.maximum(unexplored - dnbrs, 0))
+
+    levels, _, _, _, _ = jax.lax.while_loop(
+        cond, body, (levels0, size0, nbrs0, jnp.int32(FIRST_LEVEL),
+                     jnp.int32(e)))
+    return jnp.where(levels == _INF32, UNVISITED, levels)
+
+
+def vgl_bfs_device(graph: VGLGraph, source_vertex: int, alpha: float = 15.0,
+                   beta: float = 18.0, id_cap: int = 1 << 15,
+                   edge_cap: int = 1 << 20) -> VertexArray:
+    """Direction-optimizing BFS as ONE device program (one dispatch per run)."""
+    sid = jnp.take(graph.incoming.orig_to_sorted, source_vertex)
+    ec2 = min(common.next_pow2(max(graph.e, 8)), edge_cap)
+    levels = _do_bfs_device_run(graph, sid, min(id_cap, graph.v_pad), ec2,
+                                alpha, beta)
+    return VertexArray(values=levels, direction=G)
+
+
 def seq_top_down(ec, source_vertex: int) -> np.ndarray:
     """Sequential oracle: BFS levels, source=1, unvisited=-1 (reference seq_bfs)."""
     import scipy.sparse as sp

@@ -26,7 +26,8 @@ def build_parser(app: str = "vgl") -> argparse.ArgumentParser:
                    help="average degree for synthetic graphs")
     p.add_argument("-rmat", dest="rmat", action="store_true", default=True)
     p.add_argument("-ru", "-random_uniform", dest="ru", action="store_true")
-    p.add_argument("-format", dest="graph_format", default="vect_csr")
+    p.add_argument("-format", dest="graph_format", default="vect_csr",
+                   help="el/csr/csr_vg/vect_csr, or 'auto' (autotuner pick)")
     p.add_argument("-check", dest="check", action="store_true")
     p.add_argument("-it", "-iterations", dest="iterations", type=int, default=10)
     p.add_argument("-push", dest="push", action="store_true")
@@ -52,12 +53,15 @@ def parse_args(argv=None, app: str = "vgl") -> VGLConfig:
     for name in ("td", "bu", "do", "sv", "bfs_based", "purdoms"):
         if getattr(ns, f"variant_{name}"):
             variant = name
+    autotune = ns.graph_format.lower() == "auto"
     return VGLConfig(
         scale=ns.scale,
         avg_degree=ns.avg_degree,
         synthetic_type=(SyntheticGraphType.RANDOM_UNIFORM if ns.ru
                         else SyntheticGraphType.RMAT),
-        graph_format=GraphFormat.parse(ns.graph_format),
+        graph_format=(GraphFormat.TILE_CSR if autotune
+                      else GraphFormat.parse(ns.graph_format)),
+        autotune_format=autotune,
         load_path=ns.load_path,
         import_path=ns.import_path,
         check=ns.check,

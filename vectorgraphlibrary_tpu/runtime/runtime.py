@@ -49,6 +49,11 @@ def prepare_graph(cfg: VGLConfig, need_weights: bool = False
     ec = load_edges(cfg)
     if need_weights and ec.weights is None:
         ec = ec.with_random_weights(cfg.seed + 1)
+    if cfg.autotune_format:
+        from ..utils.autotuner import default_tuner
+        cfg = default_tuner().apply(ec, cfg)
+        print(f"autotuner: format={cfg.graph_format.value} "
+              f"huge_threshold={cfg.huge_degree_threshold}")
     host = []
     graph = import_graph(ec, cfg, cfg.graph_format, _host_out=host)
     weights = None

@@ -93,6 +93,63 @@ class FormatAutotuner:
             return FormatAutotuner(json.load(fp))
 
 
+BUNDLED_SAMPLES = os.path.join(os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))), "data", "autotuner_samples.json")
+
+
+def default_tuner() -> "FormatAutotuner":
+    """Tuner over the bundled measured samples (falls back to the heuristic
+    when the sweep file is absent)."""
+    if os.path.exists(BUNDLED_SAMPLES):
+        return FormatAutotuner.load(BUNDLED_SAMPLES)
+    return FormatAutotuner()
+
+
+def collect_samples(scales=(12, 14), edge_factors=(8, 32), seeds=(0,),
+                    thresholds=(128, 256, 1024), pr_iters: int = 20,
+                    out_path: Optional[str] = None,
+                    verbose: bool = True) -> "FormatAutotuner":
+    """Benchmark-driven label collection (the reference deep_learning
+    pipeline's generate_learning_data + training step, measured rather than
+    learned): for each corpus graph, time PageRank under candidate tile
+    configs on the CURRENT backend and record the winner."""
+    import time as _time
+    import jax
+    from ..io import generation
+    from ..graph.device import import_graph
+    from ..models import pr
+    tuner = FormatAutotuner()
+    for kind in ("rmat", "ru"):
+        for s in scales:
+            for ef in edge_factors:
+                for seed in seeds:
+                    ec = generation.generate(kind, s, ef, seed)
+                    best, best_dt = None, float("inf")
+                    for thr in thresholds:
+                        cfg = VGLConfig(huge_degree_threshold=thr)
+                        g = import_graph(ec, cfg)
+                        run = lambda: pr.vgl_page_rank(
+                            g, max_iterations=pr_iters,
+                            use_convergence=False)[0].values
+                        jax.block_until_ready(run())
+                        t0 = _time.perf_counter()
+                        jax.block_until_ready(run())
+                        dt = _time.perf_counter() - t0
+                        if dt < best_dt:
+                            best_dt = dt
+                            best = {"graph_format": GraphFormat.TILE_CSR.value,
+                                    "huge_degree_threshold": thr,
+                                    "huge_row_chunk": 512}
+                        if verbose:
+                            print(f"{kind}-{s}-{ef} thr={thr}: "
+                                  f"{dt*1e3:.1f} ms", flush=True)
+                    tuner.add_sample(ec, best)
+    if out_path:
+        os.makedirs(os.path.dirname(out_path), exist_ok=True)
+        tuner.save(out_path)
+    return tuner
+
+
 def generate_learning_data(scales=(12, 14), edge_factors=(8, 32),
                            seeds=(0,)) -> list:
     """Synthetic sweep (reference prepare_all_data.py:11-34 analog): feature
