@@ -9,6 +9,9 @@ import os
 # the backend gates in reorder()/advance_pull_fast() would fall back to gathers
 # and CI would never run the program structure the TPU runs.
 os.environ.setdefault("VGL_FORCE_ROUTED", "1")
+# ... and run the fused Pallas kernels in interpret mode so the fused-finish
+# advance path (what the TPU actually executes) is covered suite-wide.
+os.environ.setdefault("VGL_PALLAS_INTERPRET", "1")
 
 # NOTE: this environment's sitecustomize imports jax at interpreter startup with
 # JAX_PLATFORMS=axon (TPU tunnel), so setting the env var here is too late — use

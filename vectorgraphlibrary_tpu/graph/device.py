@@ -98,18 +98,27 @@ class DeviceDirectedGraph:
         return last
 
 
-def _to_device_directed(h: HostDirectedCSR,
-                        e_static: Optional[int] = None) -> DeviceDirectedGraph:
+def _to_device_directed(h: HostDirectedCSR, e_static: Optional[int] = None,
+                        with_eidx: bool = True) -> DeviceDirectedGraph:
+    """with_eidx=False skips shipping the per-slot CSR edge indices — they
+    exist only to lay out EdgeArray values into tiles, so unweighted graphs
+    save |slots|*4 bytes of HBM per direction."""
     def _shape(a, width, rows_pad):
         if width < 128:
             return a.reshape(rows_pad * width // 128, 128)
         return a
+
+    def _eidx(a, width=None, rows_pad=None):
+        if not with_eidx:
+            return None
+        a = np.minimum(a, np.int64(2**31 - 1))
+        if width is not None:
+            a = _shape(a, width, rows_pad)
+        return jnp.asarray(a, jnp.int32)
     buckets = tuple(
         TileBucket(adj=jnp.asarray(_shape(b.adj, b.width, b.rows_pad),
                                    jnp.int32),
-                   eidx=jnp.asarray(_shape(
-                       np.minimum(b.eidx, np.int64(2**31 - 1)),
-                       b.width, b.rows_pad), jnp.int32),
+                   eidx=_eidx(b.eidx, b.width, b.rows_pad),
                    width=b.width, row_start=b.row_start, rows=b.rows,
                    rows_pad=b.rows_pad)
         for b in h.buckets)
@@ -117,8 +126,7 @@ def _to_device_directed(h: HostDirectedCSR,
     if h.huge is not None:
         hh = h.huge
         huge = HugeTile(adj=jnp.asarray(hh.adj, jnp.int32),
-                        eidx=jnp.asarray(np.minimum(hh.eidx, np.int64(2**31 - 1)),
-                                         jnp.int32),
+                        eidx=_eidx(hh.eidx),
                         seg_ids=jnp.asarray(hh.seg_ids, jnp.int32),
                         chunk_w=hh.chunk_w, n_rows=hh.n_rows,
                         n_chunks=hh.n_chunks, n_chunks_pad=hh.n_chunks_pad)
@@ -176,7 +184,8 @@ class VGLGraph:
 def import_graph(ec: EdgesContainer, cfg: VGLConfig = DEFAULT_CONFIG,
                  graph_format: GraphFormat = GraphFormat.TILE_CSR,
                  _host_out: Optional[list] = None,
-                 build_route: bool = True) -> VGLGraph:
+                 build_route: bool = True,
+                 keep_edge_slots: Optional[bool] = None) -> VGLGraph:
     """COO → VGLGraph (both directions), reference vgl_graph.hpp:60-64.
     build_route: also compute the Beneš advance route (gather-free advance).
 
@@ -193,8 +202,12 @@ def import_graph(ec: EdgesContainer, cfg: VGLConfig = DEFAULT_CONFIG,
             h.huge = None
     if _host_out is not None:
         _host_out.extend([h_out, h_in])
-    out = _to_device_directed(h_out)
-    inc = _to_device_directed(h_in)
+    # per-slot edge indices are only needed to lay out EdgeArray values;
+    # unweighted graphs skip them (|slots|*4 B of HBM per direction)
+    if keep_edge_slots is None:
+        keep_edge_slots = ec.weights is not None
+    out = _to_device_directed(h_out, with_eidx=keep_edge_slots)
+    inc = _to_device_directed(h_in, with_eidx=keep_edge_slots)
     assert out.v_pad == inc.v_pad
     route, out_slots, in_slots = None, 0, 0
     vroute = vroute_so = vroute_go = None

@@ -27,13 +27,15 @@ def _pack_directed(prefix: str, dg: DeviceDirectedGraph, out: dict) -> None:
                                         1 if dg.huge is not None else 0])
     for i, b in enumerate(dg.buckets):
         out[f"{prefix}.b{i}.adj"] = np.asarray(b.adj)
-        out[f"{prefix}.b{i}.eidx"] = np.asarray(b.eidx)
+        if b.eidx is not None:
+            out[f"{prefix}.b{i}.eidx"] = np.asarray(b.eidx)
         out[f"{prefix}.b{i}.meta"] = np.asarray(
             [b.width, b.row_start, b.rows, b.rows_pad])
     if dg.huge is not None:
         h = dg.huge
         out[f"{prefix}.huge.adj"] = np.asarray(h.adj)
-        out[f"{prefix}.huge.eidx"] = np.asarray(h.eidx)
+        if h.eidx is not None:
+            out[f"{prefix}.huge.eidx"] = np.asarray(h.eidx)
         out[f"{prefix}.huge.seg_ids"] = np.asarray(h.seg_ids)
         out[f"{prefix}.huge.meta"] = np.asarray(
             [h.chunk_w, h.n_rows, h.n_chunks, h.n_chunks_pad])
@@ -46,13 +48,15 @@ def _unpack_directed(prefix: str, z) -> DeviceDirectedGraph:
         w, rs, r, rp = z[f"{prefix}.b{i}.meta"].tolist()
         buckets.append(TileBucket(
             adj=jnp.asarray(z[f"{prefix}.b{i}.adj"]),
-            eidx=jnp.asarray(z[f"{prefix}.b{i}.eidx"]),
+            eidx=(jnp.asarray(z[f"{prefix}.b{i}.eidx"])
+                  if f"{prefix}.b{i}.eidx" in z else None),
             width=w, row_start=rs, rows=r, rows_pad=rp))
     huge = None
     if has_huge:
         cw, nr, nc, ncp = z[f"{prefix}.huge.meta"].tolist()
         huge = HugeTile(adj=jnp.asarray(z[f"{prefix}.huge.adj"]),
-                        eidx=jnp.asarray(z[f"{prefix}.huge.eidx"]),
+                        eidx=(jnp.asarray(z[f"{prefix}.huge.eidx"])
+                              if f"{prefix}.huge.eidx" in z else None),
                         seg_ids=jnp.asarray(z[f"{prefix}.huge.seg_ids"]),
                         chunk_w=cw, n_rows=nr, n_chunks=nc, n_chunks_pad=ncp)
     return DeviceDirectedGraph(
@@ -66,9 +70,10 @@ def _unpack_directed(prefix: str, z) -> DeviceDirectedGraph:
 
 
 def _pack_route(prefix: str, plan, out: dict) -> None:
-    out[f"{prefix}.in_masks"] = np.asarray(plan.in_masks)
-    out[f"{prefix}.out_masks"] = np.asarray(plan.out_masks)
-    out[f"{prefix}.lane_idx"] = np.asarray(plan.lane_idx)
+    if plan.in_masks is not None:          # absent on slim (TPU fused) plans
+        out[f"{prefix}.in_masks"] = np.asarray(plan.in_masks)
+        out[f"{prefix}.out_masks"] = np.asarray(plan.out_masks)
+        out[f"{prefix}.lane_idx"] = np.asarray(plan.lane_idx)
     out[f"{prefix}.lane_inv"] = np.asarray(plan.lane_inv)
     if plan.mid_words is not None:
         out[f"{prefix}.mid_words"] = np.asarray(plan.mid_words)
@@ -86,9 +91,11 @@ def _unpack_route(prefix: str, z):
            if f"{prefix}.mid_words" in z else None)
     big = (jnp.asarray(z[f"{prefix}.big_words"])
            if f"{prefix}.big_words" in z else None)
-    return RoutePlan(in_masks=jnp.asarray(z[f"{prefix}.in_masks"]),
-                     out_masks=jnp.asarray(z[f"{prefix}.out_masks"]),
-                     lane_idx=jnp.asarray(z[f"{prefix}.lane_idx"]),
+    def opt(key):
+        return jnp.asarray(z[key]) if key in z else None
+    return RoutePlan(in_masks=opt(f"{prefix}.in_masks"),
+                     out_masks=opt(f"{prefix}.out_masks"),
+                     lane_idx=opt(f"{prefix}.lane_idx"),
                      lane_inv=jnp.asarray(z[f"{prefix}.lane_inv"]),
                      mid_words=mid, big_words=big,
                      n=n, levels=levels, kb=kb, kq=kq,

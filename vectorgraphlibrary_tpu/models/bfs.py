@@ -163,26 +163,41 @@ def _do_bfs_device_run(graph: VGLGraph, source_sorted_g, id_cap: int,
     size0 = jnp.int32(1)
     nbrs0 = jnp.take(outdeg_g, source_sorted_g)
 
-    def td_branch(args):
-        levels_g, cur = args
-        levels_s = common.to_direction(graph, levels_g, G,
-                                       TraversalDirection.SCATTER)
-        mask_s = levels_s == cur
-        fr = Frontier(mask=mask_s, size=jnp.sum(mask_s, dtype=jnp.int32),
-                      neighbours_count=jnp.int32(0),
-                      direction=TraversalDirection.SCATTER)
-        ids, valid = compact_ids(fr, id_cap)
-        out_s = advance_push_sparse(
-            graph, ids, valid, edge_cap, {"l": levels_s},
-            lambda s, d, w: jnp.zeros_like(s["l"]) + (cur + 1),
-            "min", levels_s, direction=TraversalDirection.SCATTER)
-        newly_s = out_s < levels_s
-        new_levels_s = jnp.where(newly_s, cur + 1, levels_s)
-        levels_g2 = common.to_direction(graph, new_levels_s,
-                                        TraversalDirection.SCATTER, G)
-        size = jnp.sum(newly_s, dtype=jnp.int32)
-        nbrs = jnp.sum(jnp.where(newly_s, outdeg_s, 0), dtype=jnp.int32)
-        return levels_g2, size, nbrs
+    # graduated sparse-push capacities: a STATIC-shaped push does its full
+    # capacity of work regardless of the live frontier, so tail levels must
+    # use small variants. Tiers stay SMALL on purpose: a frontier too big for
+    # them is served by the dense bottom-up pull, whose full-route cost
+    # (~n slots at memory bandwidth) already beats big gather/scatter pushes.
+    tiers = []
+    ic, ec_ = id_cap, edge_cap
+    while len(tiers) < 3:
+        tiers.append((max(ic, 8), max(ec_, 64)))
+        ic //= 8
+        ec_ //= 8
+    tiers = tiers[::-1]                       # ascending capacities
+
+    def make_td(ic, ecap):
+        def td_branch(args):
+            levels_g, cur = args
+            levels_s = common.to_direction(graph, levels_g, G,
+                                           TraversalDirection.SCATTER)
+            mask_s = levels_s == cur
+            fr = Frontier(mask=mask_s, size=jnp.sum(mask_s, dtype=jnp.int32),
+                          neighbours_count=jnp.int32(0),
+                          direction=TraversalDirection.SCATTER)
+            ids, valid = compact_ids(fr, ic)
+            out_s = advance_push_sparse(
+                graph, ids, valid, ecap, {"l": levels_s},
+                lambda s, d, w: jnp.zeros_like(s["l"]) + (cur + 1),
+                "min", levels_s, direction=TraversalDirection.SCATTER)
+            newly_s = out_s < levels_s
+            new_levels_s = jnp.where(newly_s, cur + 1, levels_s)
+            levels_g2 = common.to_direction(graph, new_levels_s,
+                                            TraversalDirection.SCATTER, G)
+            size = jnp.sum(newly_s, dtype=jnp.int32)
+            nbrs = jnp.sum(jnp.where(newly_s, outdeg_s, 0), dtype=jnp.int32)
+            return levels_g2, size, nbrs
+        return td_branch
 
     def bu_branch(args):
         levels_g, cur = args
@@ -193,17 +208,22 @@ def _do_bfs_device_run(graph: VGLGraph, source_sorted_g, id_cap: int,
         nbrs = jnp.sum(jnp.where(newly, outdeg_g, 0), dtype=jnp.int32)
         return jnp.where(newly, cur + 1, levels_g), size, nbrs
 
+    branches = [make_td(ic, ecap) for ic, ecap in tiers] + [bu_branch]
+
     def cond(state):
         levels, size, nbrs, cur, unexplored = state
         return size > 0
 
     def body(state):
         levels, size, nbrs, cur, unexplored = state
-        use_td = (nbrs.astype(jnp.float32)
-                  < unexplored.astype(jnp.float32) / alpha) \
-            & (size < id_cap) & (nbrs < edge_cap)
-        levels, dsize, dnbrs = jax.lax.cond(use_td, td_branch, bu_branch,
-                                            (levels, cur))
+        td_ok = (nbrs.astype(jnp.float32)
+                 < unexplored.astype(jnp.float32) / alpha)
+        idx = jnp.int32(len(tiers))            # default: dense bottom-up
+        for i in range(len(tiers) - 1, -1, -1):
+            ic, ecap = tiers[i]
+            fits = td_ok & (size < ic) & (nbrs < ecap)
+            idx = jnp.where(fits, jnp.int32(i), idx)
+        levels, dsize, dnbrs = jax.lax.switch(idx, branches, (levels, cur))
         return (levels, dsize, dnbrs, cur + 1,
                 jnp.maximum(unexplored - dnbrs, 0))
 
@@ -214,8 +234,8 @@ def _do_bfs_device_run(graph: VGLGraph, source_sorted_g, id_cap: int,
 
 
 def vgl_bfs_device(graph: VGLGraph, source_vertex: int, alpha: float = 15.0,
-                   beta: float = 18.0, id_cap: int = 1 << 15,
-                   edge_cap: int = 1 << 20) -> VertexArray:
+                   beta: float = 18.0, id_cap: int = 1 << 12,
+                   edge_cap: int = 1 << 16) -> VertexArray:
     """Direction-optimizing BFS as ONE device program (one dispatch per run)."""
     sid = jnp.take(graph.incoming.orig_to_sorted, source_vertex)
     ec2 = min(common.next_pow2(max(graph.e, 8)), edge_cap)

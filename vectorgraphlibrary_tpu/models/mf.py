@@ -125,7 +125,7 @@ def vgl_ford_fulkerson(ec: EdgesContainer, graph: VGLGraph, source: int,
     dst2 = np.concatenate([ec.dst_ids, ec.src_ids]).astype(np.int32)
     host = []
     g2 = import_graph(EdgesContainer(src2, dst2, v), _host_out=host,
-                      build_route=False)
+                      build_route=False, keep_edge_slots=True)
     h_out, h_in = host
     e2 = 2 * e
     # incoming CSR slot -> arc id (static)
@@ -150,7 +150,7 @@ def vgl_mf_bfs_levels(ec: EdgesContainer, graph: VGLGraph, flow: np.ndarray,
     dst2 = np.concatenate([ec.dst_ids, ec.src_ids]).astype(np.int32)
     host = []
     g2 = import_graph(EdgesContainer(src2, dst2, v), _host_out=host,
-                      build_route=False)
+                      build_route=False, keep_edge_slots=True)
     h_out, h_in = host
     e2 = 2 * ec.edges_count
     arc_slot_in = np.full(h_in.edges_pad, int(_BIG), np.int64)

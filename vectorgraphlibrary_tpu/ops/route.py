@@ -51,10 +51,12 @@ class RoutePlan:
       path (ops/pallas/route_fused.py): a stage's mask is a shift+and with no
       cross-lane relayout, and the whole route runs in ≤3 kernels."""
 
-    in_masks: jax.Array     # uint8 [levels, n // 8]
-    out_masks: jax.Array    # uint8 [levels, n // 8]
-    lane_idx: jax.Array     # int32 [n // 128, 128]
-    lane_inv: jax.Array     # int32 [n // 128, 128] (inverse shuffle, for inverse)
+    # stage-by-stage XLA-path data; None on TPU when the fused word masks
+    # exist ("slim" plans — at scale-22 these would waste ~1.7 GB of HBM)
+    in_masks: Optional[jax.Array]     # uint8 [levels, n // 8]
+    out_masks: Optional[jax.Array]    # uint8 [levels, n // 8]
+    lane_idx: Optional[jax.Array]     # int32 [n // 128, 128]
+    lane_inv: jax.Array = None  # int32 [n//128,128] (kept: inverse mid kernel)
     mid_words: Optional[jax.Array] = None   # int32 [n//128, 128]
     big_words: Optional[jax.Array] = None   # int32 [n//128, 128] (kq > 0 only)
     n: int = dataclasses.field(metadata=dict(static=True), default=0)
@@ -96,10 +98,16 @@ def make_route_plan(perm: np.ndarray, fused: bool = True,
         mid_words = jnp.asarray(mid_np)
         big_words = None if big_np is None else jnp.asarray(big_np)
         has_flags = flags_fwd is not None or flags_inv is not None
+    # slim plans on TPU: the stage-by-stage XLA path is never taken when the
+    # fused word masks exist, so don't ship its arrays to HBM
+    slim = (mid_words is not None
+            and jax.default_backend() in ("tpu", "axon"))
     return RoutePlan(
-        in_masks=jnp.asarray(np.packbits(in_m, axis=1, bitorder="little")),
-        out_masks=jnp.asarray(np.packbits(out_m, axis=1, bitorder="little")),
-        lane_idx=jnp.asarray(lane2d),
+        in_masks=None if slim else jnp.asarray(
+            np.packbits(in_m, axis=1, bitorder="little")),
+        out_masks=None if slim else jnp.asarray(
+            np.packbits(out_m, axis=1, bitorder="little")),
+        lane_idx=None if slim else jnp.asarray(lane2d),
         lane_inv=jnp.asarray(lane_inv),
         mid_words=mid_words, big_words=big_words,
         n=n, levels=in_m.shape[0], kb=kb, kq=kq, has_flags=has_flags)

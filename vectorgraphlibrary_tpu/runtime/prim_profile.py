@@ -33,6 +33,26 @@ from .perf_stats import performance_stats
 G, S = TraversalDirection.GATHER, TraversalDirection.SCATTER
 
 
+_baseline_cache = [None]
+
+
+def _dispatch_baseline() -> float:
+    """Fixed per-call host→device dispatch latency (the axon tunnel costs
+    ~25 ms per jitted call regardless of work); measured once and subtracted
+    so the table reflects device time, not tunnel time."""
+    if _baseline_cache[0] is None:
+        f = jax.jit(lambda x: x + 1)
+        x = jnp.zeros((8, 128), jnp.float32)
+        jax.block_until_ready(f(x))
+        best = float("inf")
+        for _ in range(5):
+            t0 = time.perf_counter()
+            jax.block_until_ready(f(x))
+            best = min(best, time.perf_counter() - t0)
+        _baseline_cache[0] = best
+    return _baseline_cache[0]
+
+
 def _timeit(fn, *args, reps: int = 3):
     out = fn(*args)
     jax.block_until_ready(out)
@@ -42,7 +62,8 @@ def _timeit(fn, *args, reps: int = 3):
         out = fn(*args)
         jax.block_until_ready(out)
         best = min(best, time.perf_counter() - t0)
-    return best
+    # net of the fixed dispatch overhead, floored at 5% of the raw time
+    return max(best - _dispatch_baseline(), best * 0.05)
 
 
 def profile_graph_primitives(graph: VGLGraph, weights=None,
