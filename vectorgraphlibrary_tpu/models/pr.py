@@ -56,15 +56,23 @@ def _pr_run(graph: VGLGraph, max_iterations: int, use_convergence: bool,
     k = (1.0 - damping) / v
     ranks0 = jnp.where(real, 1.0 / v, 0.0).astype(jnp.float32)
 
+    from ..ops.compute import compute
+    from ..ops.reduce import reduce as vgl_reduce
+
     def body(state):
         ranks, it, delta = state
-        dangling = jnp.sum(jnp.where(dangling_mask, ranks, 0.0)) / v
+        dangling = vgl_reduce(graph, jnp.where(dangling_mask, ranks, 0.0),
+                              "add", direction=G) / v
         # one restricted-form advance: self-loop exclusion rides the route's
         # static flag bits — no per-edge id comparison anywhere
         acc = advance_pull_value(graph, ranks * rev_deg, "add",
                                  exclude_self_loops=True, direction=G)
-        new_ranks = jnp.where(real, k + damping * (acc + dangling), 0.0)
-        delta = jnp.sum(jnp.abs(new_ranks - ranks))
+        new_ranks = compute(
+            graph, {"r": ranks},
+            lambda ids, degs, arr: {"r": k + damping * (acc + dangling)},
+            direction=G)["r"]
+        delta = vgl_reduce(graph, jnp.abs(new_ranks - ranks), "add",
+                           direction=G)
         return new_ranks, it + 1, delta
 
     if use_convergence:

@@ -82,14 +82,18 @@ def _partial_push_step(graph: VGLGraph, weights_out, dist, ids, valid, ecap):
 
 @jax.jit
 def _partial_dense_step(graph: VGLGraph, weights_in, dist_g, changed_g):
-    """Dense relax restricted to messages from changed sources (GATHER ordering)."""
+    """Dense relax restricted to messages from changed sources (GATHER ordering).
+    The changed-vertex frontier comes out of generate_new_frontier exactly like
+    the reference's GNF-on-distance-change (shortest_paths.hpp partial)."""
+    from ..ops.frontier_ops import generate_new_frontier
     cand = advance_pull_value(graph, dist_g, "min", edge_values=weights_in,
                               weight_op="add", src_active=changed_g,
                               direction=G)
     out = jnp.minimum(dist_g, cand)
-    changed = out < dist_g
-    size = jnp.sum(changed, dtype=jnp.int32)
-    return out, changed, size
+    fr = generate_new_frontier(
+        graph, lambda ids, degs, arr: arr["new"] < arr["old"],
+        {"new": out, "old": dist_g}, direction=G)
+    return out, fr.mask, fr.size
 
 
 def vgl_dijkstra_partial_active(graph: VGLGraph, weights: EdgeArray,
