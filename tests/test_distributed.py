@@ -108,3 +108,27 @@ def test_collectives_merge_policies(mesh):
     np.testing.assert_allclose(np.asarray(a), xs.min(axis=0), rtol=1e-6)
     want_changed = np.minimum(prev, np.where(xs != prev, xs, np.inf).min(axis=0))
     np.testing.assert_allclose(np.asarray(c), want_changed, rtol=1e-6)
+
+
+def test_collectives_merge_changed_add_and_max(mesh):
+    """merge_changed 'add' accumulates per-device DELTAS onto prev; 'max'
+    merges only entries that changed (reference mpi_exchange.hpp:146-150)."""
+    from vectorgraphlibrary_tpu.parallel import collectives as C
+    from jax.experimental.shard_map import shard_map
+    n = 64
+    rng = np.random.default_rng(0)
+    prev = rng.random(n).astype(np.float32)
+    xs = np.stack([prev.copy() for _ in range(4)])
+    # each device changes a disjoint slice
+    for i in range(4):
+        xs[i, i * 16:(i + 1) * 16] += rng.random(16).astype(np.float32)
+    f = shard_map(lambda x, p: (C.merge_changed(x[0], p, "add"),
+                                C.merge_changed(x[0], p, "max")),
+                  mesh=mesh, in_specs=(P(EDGE_AXIS, None), P(None)),
+                  out_specs=(P(None), P(None)))
+    got_add, got_max = f(jnp.asarray(xs), jnp.asarray(prev))
+    want_add = prev + (xs - prev).sum(axis=0)
+    want_max = np.maximum(prev,
+                          np.where(xs != prev, xs, -np.inf).max(axis=0))
+    np.testing.assert_allclose(np.asarray(got_add), want_add, rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(got_max), want_max, rtol=1e-6)
