@@ -50,6 +50,34 @@ def test_fused_int_and_bool():
         np.asarray(xb)[perm])
 
 
+def test_fused_split_big_kernels(monkeypatch):
+    """Outer+inner big-kernel split (large-kq routes past the VMEM budget):
+    forward, inverse, and fused finish all through the split path."""
+    monkeypatch.setattr(route_fused, "_KB_MAX", 3)
+    monkeypatch.setattr(route_fused, "_KQ_SINGLE_MAX", 2)
+    n = 1 << 15                  # kb=3, kq=5 -> kq1=3, kq2=2
+    rng = np.random.default_rng(13)
+    perm = rng.permutation(n)
+    flags = rng.integers(0, 4, n).astype(np.uint8)
+    plan = make_route_plan(perm, flags_fwd=flags, flags_inv=flags)
+    assert plan.kq == 5
+    x = jnp.asarray(rng.standard_normal(n), jnp.float32)
+    np.testing.assert_array_equal(
+        np.asarray(route_fused.apply_route_fused(plan, x)),
+        np.asarray(x)[perm])
+    inv = np.empty(n, np.float32)
+    inv[perm] = np.asarray(x)
+    np.testing.assert_array_equal(
+        np.asarray(route_fused.apply_route_fused(plan, x, inverse=True)), inv)
+    fin = route_fused.FinishSpec(ident=-7.0, exclude_self_loops=True)
+    ok = ((flags & 1) == 1) & ((flags >> 1) == 0)
+    got = np.asarray(route_fused.apply_route_fused(plan, x, finish=fin))
+    np.testing.assert_allclose(got, np.where(ok, np.asarray(x)[perm], -7.0))
+    got_i = np.asarray(route_fused.apply_route_fused(plan, x, inverse=True,
+                                                     finish=fin))
+    np.testing.assert_allclose(got_i, np.where(ok, inv, -7.0))
+
+
 @pytest.mark.parametrize("kb_max,weight_op", [(12, "add"), (3, "add"),
                                               (12, None), (3, "min")])
 def test_fused_finish_flags(kb_max, weight_op, monkeypatch):

@@ -193,12 +193,9 @@ def _mid_kernel(kb: int, inverse: bool, finish, *refs):
     o_ref[:] = x
 
 
-def _big_kernel(kq: int, half: str, inverse: bool, finish, *refs):
-    """Big stages over the q axis of (Q, C, 128) blocks.
-
-    half='in'  forward: in-half bits j=0..kq-1 (q-dist Q/2 → 1)
-    half='out' forward: out-half bits 16+j, j=0..kq-1 (q-dist 1 → Q/2)
-    inverse flips both the half used and the iteration order (see apply)."""
+def _big_kernel(pairs, axis: int, fwd_for_finish: bool, finish, *refs):
+    """Apply (bit_index, distance) exchange pairs along `axis` of the block.
+    `pairs` is already ordered for the requested direction."""
     if finish is not None and len(refs) == 4:
         x_ref, w_ref, wt_ref, o_ref = refs
     else:
@@ -206,20 +203,54 @@ def _big_kernel(kq: int, half: str, inverse: bool, finish, *refs):
         wt_ref = None
     x = x_ref[:]
     w = w_ref[:]
-    q = 1 << kq
-    js = range(kq) if not inverse else range(kq - 1, -1, -1)
-    if half == "in":
-        for j in js:
-            bit = ((w >> j) & 1) == 1
-            x = _xor_swap(x, bit, q >> (j + 1), axis=0)
-    else:
-        for j in js:
-            bit = ((w >> (16 + j)) & 1) == 1
-            x = _xor_swap(x, bit, 1 << j, axis=0)
+    for bit, dist in pairs:
+        sw = ((w >> bit) & 1) == 1
+        x = _xor_swap(x, sw, dist, axis=axis)
     if finish is not None:
         x = _finish(x, w, None if wt_ref is None else wt_ref[:],
-                    finish, fwd=not inverse, dtype=x.dtype)
+                    finish, fwd=fwd_for_finish, dtype=x.dtype)
     o_ref[:] = x
+
+
+# largest q extent one big kernel may hold resident (VMEM budget: measured
+# kq=10 wants 24 MB of scoped VMEM vs the 16 MB cap)
+_KQ_SINGLE_MAX = 8
+
+
+def _split_kq(kq: int) -> tuple[int, int]:
+    """(kq1 inner, kq2 outer): one big kernel holds the whole q extent in
+    VMEM; past _KQ_SINGLE_MAX super-blocks that blows the scoped-VMEM budget,
+    so large routes split the big stages into an OUTER kernel (top kq2 q-bits
+    resident) and an INNER kernel (next kq1 bits resident)."""
+    if kq <= _KQ_SINGLE_MAX:
+        return kq, 0
+    kq2 = kq // 2
+    return kq - kq2, kq2
+
+
+def _big_pairs(kb: int, kq: int, half: str, which: str):
+    """Forward-order (bit, distance) pairs for one big kernel.
+
+    q-space distances: in-half level j has distance Q >> (j+1); out-half
+    level j has distance 1 << j (bit 16+j). The OUTER kernel owns levels with
+    q-distance ≥ Q1 (exchange axis = q2), the INNER the rest (axis = q1);
+    distances are re-expressed in the owning axis's units."""
+    kq1, kq2 = _split_kq(kq)
+    q, q1 = 1 << kq, 1 << kq1
+    pairs = []
+    if half == "in":
+        for j in range(kq):
+            dist = q >> (j + 1)                 # in q units
+            outer = dist >= q1
+            if (which == "outer") == outer:
+                pairs.append((j, dist // q1 if outer else dist))
+    else:
+        for j in range(kq):
+            dist = 1 << j
+            outer = dist >= q1
+            if (which == "outer") == outer:
+                pairs.append((16 + j, dist // q1 if outer else dist))
+    return tuple(pairs)
 
 
 def _mid_call(x2: jax.Array, words: jax.Array, lane_inv, kb: int,
@@ -245,29 +276,65 @@ def _mid_call(x2: jax.Array, words: jax.Array, lane_inv, kb: int,
     )(*ins)
 
 
-def _big_call(x2: jax.Array, words: jax.Array, kb: int, kq: int, half: str,
-              inverse: bool, finish=None, weights=None) -> jax.Array:
+def _one_big(x2: jax.Array, words: jax.Array, kq1: int, kq2: int, which: str,
+             pairs, finish, weights, fwd: bool) -> jax.Array:
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
     r = x2.shape[0]
-    q, b = 1 << kq, 1 << kb
-    # (Q, C, 128) blocks: full q-dim resident; C rows of each super-block
-    c = max(8, (1 << _KB_MAX) // q)
-    c = min(c, b)
-    spec = lambda: pl.BlockSpec((q, c, 128), lambda i: (0, i, 0),
-                                memory_space=pltpu.VMEM)
-    ins = [x2.reshape(q, b, 128), words.reshape(q, b, 128)]
+    q1, q2 = 1 << kq1, 1 << kq2
+    b = r // (q1 * q2)
+    if which == "inner":
+        shape = (q2, q1, b, 128)
+        c = min(max(8, 2048 // q1), b)
+        block = (1, q1, c, 128)
+        grid = (q2, b // c)
+        index = lambda i, j: (i, 0, j, 0)
+        axis = 1
+    else:
+        shape = (q2, q1 * b, 128)
+        c = min(max(8, 2048 // q2), q1 * b)
+        block = (q2, c, 128)
+        grid = ((q1 * b) // c,)
+        index = lambda i: (0, i, 0)
+        axis = 0
+    spec = lambda: pl.BlockSpec(block, index, memory_space=pltpu.VMEM)
+    ins = [x2.reshape(shape), words.reshape(shape)]
     if weights is not None:
-        ins.append(weights.reshape(q, b, 128))
+        ins.append(weights.reshape(shape))
     out = pl.pallas_call(
-        functools.partial(_big_kernel, kq, half, inverse, finish),
-        grid=(b // c,),
+        functools.partial(_big_kernel, pairs, axis, fwd, finish),
+        grid=grid,
         in_specs=[spec() for _ in ins],
         out_specs=spec(),
-        out_shape=jax.ShapeDtypeStruct(ins[0].shape, x2.dtype),
+        out_shape=jax.ShapeDtypeStruct(shape, x2.dtype),
         interpret=_INTERPRET,
     )(*ins)
     return out.reshape(r, 128)
+
+
+def _big_call(x2: jax.Array, words: jax.Array, kb: int, kq: int, half: str,
+              inverse: bool, finish=None, weights=None) -> jax.Array:
+    """One half's big stages as 1 kernel (kq ≤ 8) or an outer+inner pair.
+    Forward 'in' runs big→small distances (outer then inner); forward 'out'
+    the reverse; inverse swaps kernel order and reverses pairs."""
+    kq1, kq2 = _split_kq(kq)
+    if kq2 == 0:
+        seq = ["inner"]
+    elif half == "in":
+        seq = ["outer", "inner"] if not inverse else ["inner", "outer"]
+    else:
+        seq = ["inner", "outer"] if not inverse else ["outer", "inner"]
+    for idx, which in enumerate(seq):
+        pairs = _big_pairs(kb, kq, half, which)
+        last = idx == len(seq) - 1
+        if not pairs and not (last and finish is not None):
+            continue
+        if inverse:
+            pairs = pairs[::-1]
+        x2 = _one_big(x2, words, kq1, kq2, which, pairs,
+                      finish if last else None,
+                      weights if last else None, fwd=not inverse)
+    return x2
 
 
 def apply_route_fused(plan, x: jax.Array, inverse: bool = False,
