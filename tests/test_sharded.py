@@ -91,6 +91,18 @@ def test_sharded_hits_matches_oracle(setup):
     np.testing.assert_allclose(np.asarray(hub)[:sg.v], wh, atol=1e-4)
 
 
+def test_sharded_coloring_valid(setup):
+    """Distributed Jones-Plassmann: no vertex shares a color with an
+    undirected neighbor, everything colored (verify_colors contract)."""
+    ec, sg, hosts, mesh = setup
+    fn = sharded.make_coloring_sharded(sg, mesh, words=4)
+    colors = np.asarray(fn(sg.stacked))[:sg.v]
+    assert (colors >= 0).all()
+    s, d = ec.src_ids, ec.dst_ids
+    nonloop = s != d
+    assert (colors[s[nonloop]] != colors[d[nonloop]]).all()
+
+
 def test_sharded_nonuniform_shard_count():
     """Shard count that doesn't divide v, graph with hubs in one shard only."""
     ec = generation.rmat(scale=9, avg_degree=6, seed=11)

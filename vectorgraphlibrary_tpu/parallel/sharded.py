@@ -254,6 +254,90 @@ def make_hits_sharded(sg: ShardedTileGraph, mesh, iterations: int = 20):
     return _smap(mesh, body_fn, 0, n_outs=2)
 
 
+def _shard_pull_arrays_original(g, arrays_o, edge_op, combine, direction=G):
+    """Generic multi-array shard pull in ORIGINAL ordering (for edge ops the
+    restricted advance can't express, e.g. coloring's priority test)."""
+    from ..ops.advance import advance_pull_fast
+    arrs = {k: common.to_direction(g, a, O, direction)
+            for k, a in arrays_o.items()}
+    out = advance_pull_fast(g, arrs, edge_op, combine, direction=direction)
+    return common.to_direction(g, out, direction, O)
+
+
+def make_coloring_sharded(sg: ShardedTileGraph, mesh, seed: int = 0,
+                          words: int = 4, max_rounds: int = 10_000):
+    """Distributed Jones-Plassmann greedy coloring (reference
+    coloring.hpp:66-158): per round, shard-local undirected pulls compute the
+    best uncolored-neighbor priority (pmin merge) and the banned-color
+    bitmasks (bitwise-or merge via pmax over int32), winners take their
+    smallest free color. Returns jitted (stacked,) -> colors [v_pad, O]
+    (UNCOLORED=-1 left for vertices whose 32*words window overflowed)."""
+    v, v_pad = sg.v, sg.v_pad
+    UNCOLORED = jnp.int32(-1)
+    real = jnp.arange(v_pad) < v
+    rng = np.random.default_rng(seed)
+    prio_np = np.full(v_pad, 2**31 - 1, np.int32)
+    prio_np[:v] = rng.permutation(v).astype(np.int32)
+    prio = jnp.asarray(prio_np)
+
+    def body_fn(gstack):
+        g = take_shard(gstack)
+        colors0 = jnp.where(real, UNCOLORED, jnp.int32(0))
+
+        def und_min(arrays_o, edge_op):
+            m_in = _shard_pull_arrays_original(g, arrays_o, edge_op, "min", G)
+            m_out = _shard_pull_arrays_original(g, arrays_o, edge_op, "min", S)
+            return jax.lax.pmin(jnp.minimum(m_in, m_out), E)
+
+        def und_or(arrays_o, edge_op):
+            m_in = _shard_pull_arrays_original(g, arrays_o, edge_op, "or", G)
+            m_out = _shard_pull_arrays_original(g, arrays_o, edge_op, "or", S)
+            both = m_in | m_out
+            # bitwise-or across devices (pmax would drop bits): gather the
+            # per-shard masks and OR-reduce locally
+            allm = jax.lax.all_gather(both, E)
+            return jax.lax.reduce(allm, jnp.zeros((), both.dtype),
+                                  jax.lax.bitwise_or, (0,))
+
+        def round_body(state):
+            colors, rnd, _ = state
+            uncolored = (colors == UNCOLORED) & real
+            nb_best = und_min(
+                {"c": colors, "p": prio},
+                lambda s, d, w: jnp.where(s["c"] == UNCOLORED, s["p"],
+                                          jnp.int32(2**31 - 1)))
+            winner = uncolored & (prio <= nb_best)
+            cand = jnp.full(v_pad, jnp.int32(words * 32), jnp.int32)
+            for w in range(words):
+                bw = und_or(
+                    {"c": colors},
+                    lambda s, d, wt, w=w: jnp.where(
+                        (s["c"] >= 0) & (s["c"] // 32 == w),
+                        jnp.left_shift(jnp.int32(1), s["c"] % 32),
+                        jnp.int32(0)))
+                free = jnp.bitwise_not(bw)
+                lsb = free & (-free)
+                pos = (31 - jnp.clip(jax.lax.clz(lsb.astype(jnp.uint32))
+                                     .astype(jnp.int32), 0, 31))
+                word_cand = jnp.where(free != 0, 32 * w + pos,
+                                      jnp.int32(words * 32))
+                cand = jnp.minimum(cand, word_cand)
+            assign = winner & (cand < words * 32)
+            new_colors = jnp.where(assign, cand, colors)
+            return (new_colors, rnd + 1,
+                    jnp.sum(assign, dtype=jnp.int32))
+
+        def cond(state):
+            colors, rnd, assigned = state
+            return (assigned > 0) & (rnd < max_rounds)
+
+        colors, _, _ = jax.lax.while_loop(
+            cond, round_body, (colors0, jnp.int32(0), jnp.int32(1)))
+        return colors
+
+    return _smap(mesh, body_fn, 0)
+
+
 # ---------------------------------------------------------------------------
 # single-chip sequential-shard execution (scan over the stacked axis)
 # ---------------------------------------------------------------------------
