@@ -9,14 +9,15 @@ from vectorgraphlibrary_tpu.utils import verify
 
 def run_round(ec, graph, weights, source, cfg):
     if cfg.algorithm_variant == "td":
-        return bfs.vgl_top_down(graph, source).values
-    return bfs.vgl_bfs(graph, source).values     # direction-optimizing default
+        return bfs.vgl_top_down(graph, source)
+    if cfg.algorithm_variant == "bu":
+        return bfs.vgl_bfs(graph, source, alpha=1e-9)  # bu from level 2 on
+    # direction-optimizing default: the fully device-resident state machine
+    return bfs.vgl_bfs_device(graph, source)
 
 
 def check_round(ec, graph, weights, source, result, cfg):
-    from vectorgraphlibrary_tpu.config import TraversalDirection
-    arr = vgl.VertexArray(values=result, direction=TraversalDirection.SCATTER)
-    got = vgl.as_original_numpy(arr, graph)
+    got = vgl.as_original_numpy(result, graph)
     want = bfs.seq_top_down(ec, source)
     return verify.verify_results(got, want)
 

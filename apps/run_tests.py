@@ -143,6 +143,8 @@ def main():
     p = argparse.ArgumentParser()
     p.add_argument("--verify", action="store_true")
     p.add_argument("--benchmark", action="store_true")
+    p.add_argument("--scaling", action="store_true",
+                   help="strong-scaling sweep on the virtual CPU mesh")
     p.add_argument("--tier", default="tiny", choices=list(TIERS) + ["real"])
     p.add_argument("--apps", default=None, help="comma-separated subset")
     p.add_argument("--timeout", type=int, default=DEFAULT_TIMEOUT)
@@ -159,6 +161,13 @@ def main():
         rows += r
     if args.benchmark:
         rows += do_benchmark(args.tier, args.timeout, args.it)
+    if args.scaling:
+        out, wall, to = run_app("scaling",
+                                ["--cpu", "--devices", "1,2,4,8", "-s", "14"],
+                                args.timeout)
+        print(out.splitlines()[-1] if out else "scaling produced no output")
+        rows.append(dict(mode="scaling", wall_s=round(wall, 1),
+                         timed_out=to))
     export(rows, args.out)
     print(f"results written to {args.out}.json/.csv")
     sys.exit(0 if ok else 1)

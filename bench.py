@@ -65,6 +65,8 @@ def main():
         rec.update(extra)
         metrics.append(rec)
         print(json.dumps(rec), flush=True)
+        with open("bench_results.json", "w") as f:   # survive partial runs
+            json.dump(metrics, f, indent=1)
         return rec
 
 
@@ -158,9 +160,6 @@ def main():
     dt = _bench(lambda: pr.vgl_page_rank(graph, max_iterations=iters,
                                          use_convergence=False)[0].values)
     mteps = ec.edges_count * iters / dt / 1e6
-    with open("bench_results.json", "w") as f:
-        json.dump(metrics + [{"metric": f"pagerank_rmat{scale}_mteps",
-                              "value": round(mteps, 1)}], f, indent=1)
     emit(f"pagerank_rmat{scale}_mteps", mteps, "MTEPS",
          vs_baseline=mteps / BASELINE_MTEPS)
 
