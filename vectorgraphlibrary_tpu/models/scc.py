@@ -11,6 +11,8 @@ reference's recursion does.
 """
 from __future__ import annotations
 
+import functools
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -48,9 +50,6 @@ def _trim_step(graph: VGLGraph, labels_o: jax.Array, real: jax.Array):
     ids = jnp.arange(labels_o.shape[0], dtype=jnp.int32)
     new_labels = jnp.where(trim, ids, labels_o)
     return new_labels, jnp.sum(trim, dtype=jnp.int32)
-
-
-import functools
 
 
 @functools.partial(jax.jit, static_argnums=(3,))
