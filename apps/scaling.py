@@ -69,10 +69,12 @@ def main():
             base_dt = dt
         if args.cpu:
             # virtual mesh on shared physical cores: n devices cannot run
-            # faster in aggregate — ideal strong scaling is CONSTANT wall
-            # time while per-device work drops n-fold. Efficiency here =
-            # t_1/t_n (collective+replication overhead shows as growth).
-            eff = base_dt / dt if not args.weak else base_dt / dt
+            # faster in aggregate. Ideal STRONG scaling is CONSTANT wall
+            # time while per-device work drops n-fold → eff = t_1/t_n.
+            # Ideal WEAK scaling grows aggregate work n-fold on the same
+            # fixed cores, so wall time grows ~n-fold → eff = n·t_1/t_n
+            # (1.0 when t_n = n·t_1; collective overhead shows as <1).
+            eff = (n * base_dt) / dt if args.weak else base_dt / dt
         else:
             eff = eps / (base_eps * n)
         results.append(dict(devices=n, scale=scale, edges=ec.edges_count,

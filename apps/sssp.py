@@ -9,6 +9,10 @@ from vectorgraphlibrary_tpu.utils import verify
 
 def run_round(ec, graph, weights, source, cfg):
     if cfg.all_active:
+        # -push/-pull both land here: the reference dispatches distinct
+        # scatter/gather kernels (shortest_paths.h:19-80), but the routed TPU
+        # advance realizes the identical all-edges relaxation for either
+        # direction, so the flag is a documented alias (see -push help).
         dist, _ = sssp.vgl_dijkstra_all_active(graph, weights, source)
     else:
         dist, _ = sssp.vgl_dijkstra_partial_active(graph, weights, source)

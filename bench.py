@@ -112,10 +112,12 @@ def main():
     except Exception:
         name, ecr = None, None
     if ecr is not None:
-        hostr = []
-        gr = import_graph(ecr, _host_out=hostr)
+        # weights BEFORE import: import_graph keys keep_edge_slots off
+        # ec.weights, and the device tiles need eidx to lay out the weights
         if ecr.weights is None:
             ecr = ecr.with_random_weights(7)
+        hostr = []
+        gr = import_graph(ecr, _host_out=hostr)
         ear = build_edge_array_from_host(ecr.weights, gr, hostr[0], hostr[1])
         src = common.select_random_source(ecr, seed=1)
         dt = _bench(lambda: sssp.vgl_dijkstra_all_active(gr, ear, src)[0]

@@ -46,7 +46,12 @@ print(f"proc {pid}: PR over {nproc} processes x 2 devices OK (maxdiff {err:.2e})
 
 @pytest.mark.timeout(600)
 def test_two_process_sharded_pagerank(tmp_path):
-    port = 12987
+    # ephemeral port: a fixed one collides with parallel runs or a lingering
+    # listener from a killed prior run (initialize then hangs to its timeout)
+    import socket
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        port = s.getsockname()[1]
     script = tmp_path / "worker.py"
     script.write_text(_WORKER.replace("%PORT%", str(port)))
     env = dict(os.environ)

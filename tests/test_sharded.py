@@ -112,3 +112,64 @@ def test_sharded_nonuniform_shard_count():
     got = np.asarray(run())[:sg.v]
     want = prm.seq_page_rank(ec, max_iterations=20, use_convergence=False)
     np.testing.assert_allclose(got, want, atol=1e-6)
+
+
+@pytest.fixture(scope="module")
+def slim_setup():
+    ec = generation.rmat(scale=10, avg_degree=8, seed=5, weighted=False)
+    sg = import_sharded(ec, 2, slim=True)
+    return ec, sg
+
+
+def test_slim_shards_strip_heavy_leaves(slim_setup):
+    ec, sg = slim_setup
+    g0 = sg.shard(0)
+    assert g0.outgoing.col_idx is None and g0.incoming.row_ptr is None
+    assert all(b.adj is None for b in g0.outgoing.buckets)
+    assert g0.advance_route.has_flags
+
+
+def test_slim_pagerank_scan_matches_oracle(slim_setup):
+    # slim shards run the fused value-pull only (interpret mode forces it on
+    # CPU, matching what the TPU executes) — the RMAT-24 scale path
+    ec, sg = slim_setup
+    got = np.asarray(sharded.pagerank_sharded_scan(
+        sg, ec, max_iterations=25))[:sg.v]
+    want = prm.seq_page_rank(ec, max_iterations=25, use_convergence=False)
+    np.testing.assert_allclose(got, want, atol=1e-6)
+
+
+def test_slim_hits_scan_matches_oracle(slim_setup):
+    ec, sg = slim_setup
+    auth, hub = sharded.hits_sharded_scan(sg, 10)
+    wa, wh = hitsm.seq_hits(ec, iterations=10)
+    np.testing.assert_allclose(np.asarray(auth)[:sg.v], wa, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(hub)[:sg.v], wh, atol=1e-5)
+
+
+def test_slim_bfs_scan_matches_oracle(slim_setup):
+    ec, sg = slim_setup
+    src = common.select_random_source(ec, seed=2)
+    got = np.asarray(sharded.bfs_sharded_scan(sg, jnp.int32(src)))[:sg.v]
+    want = bfsm.seq_top_down(ec, src)
+    np.testing.assert_array_equal(got, want)
+
+
+def test_slim_cc_scan_matches_oracle(slim_setup):
+    ec, sg = slim_setup
+    got = np.asarray(sharded.cc_sharded_scan(sg))[:sg.v]
+    want = ccm.seq_cc(ec)
+    assert verify.equal_components(got, want) == 0
+
+
+def test_sharded_persistence_roundtrip(tmp_path, slim_setup):
+    from vectorgraphlibrary_tpu.graph import persistence
+    ec, sg = slim_setup
+    prefix = str(tmp_path / "sgraph")
+    persistence.save_sharded_graph(sg, prefix)
+    sg2 = persistence.load_sharded_graph(prefix)
+    assert sg2.n_shards == sg.n_shards and sg2.e == sg.e
+    got = np.asarray(sharded.pagerank_sharded_scan(
+        sg2, ec, max_iterations=25))[:sg2.v]
+    want = prm.seq_page_rank(ec, max_iterations=25, use_convergence=False)
+    np.testing.assert_allclose(got, want, atol=1e-6)

@@ -193,6 +193,14 @@ def import_graph(ec: EdgesContainer, cfg: VGLConfig = DEFAULT_CONFIG,
     TILE_CSR/CSR_VG build the padded tile classes + routes; CSR and EDGES_LIST
     keep only the degree-sorted CSR arrays — their advances run the
     edge-parallel segment-reduce / scatter kernels (ops/advance.py)."""
+    if graph_format == GraphFormat.CSR_VG and jax.default_backend() in (
+            "tpu", "axon"):
+        import warnings
+        warnings.warn(
+            "CSR_VG builds degree-bucket tiles but no Beneš route: on TPU its "
+            "advances fall back to XLA element gathers (~0.1 G elem/s, about "
+            "100x slower than vect_csr's routed path). CSR_VG is a CPU/debug "
+            "format — use vect_csr (TILE_CSR) on TPU.", stacklevel=2)
     h_out = build_directed_csr(ec.src_ids, ec.dst_ids, ec.vertices_count, cfg)
     h_in = build_directed_csr(ec.dst_ids, ec.src_ids, ec.vertices_count, cfg)
     if graph_format in (GraphFormat.CSR, GraphFormat.EDGES_LIST):

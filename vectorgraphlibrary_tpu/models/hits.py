@@ -28,26 +28,39 @@ S, G, O = (TraversalDirection.SCATTER, TraversalDirection.GATHER,
 
 @functools.partial(jax.jit, static_argnums=(1,))
 def _hits_run(graph: VGLGraph, iterations: int):
-    v, v_pad = graph.v, graph.v_pad
-    real = jnp.arange(v_pad, dtype=jnp.int32) < v
-    auth0 = jnp.where(real, 1.0, 0.0).astype(jnp.float32)
-    hub0 = auth0
+    """Zero-reorder iteration: the auth phase (pull over incoming) consumes
+    hub in SCATTER order and produces auth in GATHER order; the hub phase
+    (pull over outgoing) consumes exactly that GATHER-ordered auth and
+    produces hub in SCATTER order — each phase's output IS the next phase's
+    input ordering, so the loop carries (hub_s, auth_g) and pays no vertex
+    routes at all (the round-2 loop paid 4 explicit + 2 in-advance reorders
+    per iteration, ~7·v_pad·4 B of route traffic each)."""
+    v = graph.v
+    real_s = graph.outgoing.sorted_to_orig < v
+    real_g = graph.incoming.sorted_to_orig < v
+    hub_s0 = jnp.where(real_s, 1.0, 0.0).astype(jnp.float32)
+    auth_g0 = jnp.where(real_g, 1.0, 0.0).astype(jnp.float32)
 
     def normalize(x):
         n = jnp.sqrt(jnp.sum(x * x))
         return jnp.where(n > 0, x / n, x)
 
     def body(_, state):
-        auth, hub = state
-        hub_g = common.to_direction(graph, hub, O, G)
-        auth_new = advance_pull_value(graph, hub_g, "add", direction=G)
-        auth = normalize(common.to_direction(graph, auth_new, G, O) * real)
-        auth_s = common.to_direction(graph, auth, O, S)
-        hub_new = advance_pull_value(graph, auth_s, "add", direction=S)
-        hub = normalize(common.to_direction(graph, hub_new, S, O) * real)
-        return auth, hub
+        hub_s, _ = state
+        auth_new = advance_pull_value(graph, hub_s, "add", direction=G,
+                                      src_in_src_order=True)
+        auth_g = normalize(jnp.where(real_g, auth_new, 0.0))
+        hub_new = advance_pull_value(graph, auth_g, "add", direction=S,
+                                     src_in_src_order=True)
+        hub_s = normalize(jnp.where(real_s, hub_new, 0.0))
+        return hub_s, auth_g
 
-    return jax.lax.fori_loop(0, iterations, body, (auth0, hub0))
+    hub_s, auth_g = jax.lax.fori_loop(0, iterations, body, (hub_s0, auth_g0))
+    auth = common.to_direction(graph, auth_g, G, O)
+    hub = common.to_direction(graph, hub_s, S, O)
+    v_pad = graph.v_pad
+    real_o = jnp.arange(v_pad, dtype=jnp.int32) < v
+    return jnp.where(real_o, auth, 0.0), jnp.where(real_o, hub, 0.0)
 
 
 def vgl_hits(graph: VGLGraph, iterations: int = 20

@@ -111,8 +111,11 @@ def _oriented_simple_edges(ec: EdgesContainer):
 @functools.partial(jax.jit, static_argnums=(3,))
 def _tc_block_count(bits: jax.Array, u_e: jax.Array, v_e: jax.Array,
                     chunk: int) -> jax.Array:
-    """sum over edges of popcount(bits[u] & bits[v]); edges padded to a chunk
-    multiple with u=v=zero-row index."""
+    """Per-chunk sums of popcount(bits[u] & bits[v]) over edges, int32
+    [n_chunks]; the caller sums them as Python ints (jax_enable_x64 is off, so
+    an int64 device accumulator would silently truncate to int32). A chunk's
+    own total stays well under 2^31: it needs chunk·avg-common-neighbors ≥
+    2^31, i.e. ~262k shared neighbors per edge at chunk=8192."""
     n_chunks = u_e.shape[0] // chunk
 
     def body(i, acc):
@@ -121,9 +124,10 @@ def _tc_block_count(bits: jax.Array, u_e: jax.Array, v_e: jax.Array,
         ru = jnp.take(bits, us, axis=0)
         rv = jnp.take(bits, vs, axis=0)
         cnt = jax.lax.population_count(ru & rv)
-        return acc + jnp.sum(cnt, dtype=jnp.int64)
+        return acc.at[i].set(jnp.sum(cnt, dtype=jnp.int32))
 
-    return jax.lax.fori_loop(0, n_chunks, body, jnp.int64(0))
+    return jax.lax.fori_loop(0, n_chunks, body,
+                             jnp.zeros(n_chunks, jnp.int32))
 
 
 @functools.partial(jax.jit, static_argnums=(2, 3, 4))
@@ -172,7 +176,9 @@ def vgl_triangle_count(ec: EdgesContainer, block_bits: Optional[int] = None,
         ub = jnp.asarray(u_e[m])
         vb = jnp.asarray(v_e[m] - c0)
         bits = _tc_build_bits(ub, vb, v, words, v)
-        total += int(_tc_block_count(bits, u_dev, v_dev, edge_chunk))
+        chunk_sums = np.asarray(_tc_block_count(bits, u_dev, v_dev,
+                                                edge_chunk))
+        total += sum(int(x) for x in chunk_sums)   # host int: no 2^31 wrap
     return total
 
 

@@ -449,8 +449,11 @@ def _reduce_dst_tiles(dst_dg: DeviceDirectedGraph, finished: jax.Array,
         parts.append(seg[:h.n_rows])
         covered = h.n_rows
     for b in dst_dg.buckets:
+        # shape from static metadata, NOT b.adj: slim (value-pull-only) shards
+        # ship no adjacency tiles at all
+        shape = ((b.slots // 128, 128) if b.flat else (b.rows_pad, b.width))
         vals = jax.lax.dynamic_slice_in_dim(finished, offset, b.slots).reshape(
-            b.adj.shape)
+            shape)
         offset += b.slots
         if b.flat:
             parts.append(T.group_reduce_flat(vals, b.width, mon, b.rows))
@@ -468,7 +471,8 @@ def advance_pull_value(graph: VGLGraph,
                        exclude_self_loops: bool = False,
                        src_active: Optional[jax.Array] = None,
                        direction: TraversalDirection = TraversalDirection.GATHER,
-                       out_dtype=None) -> jax.Array:
+                       out_dtype=None,
+                       src_in_src_order: bool = False) -> jax.Array:
     """Restricted-form fast advance — the speed-of-light path for the hot
     algorithms. Per-edge message = ``weight_op(src_value, edge_value)`` (or the
     raw src value), masked to the combine identity on non-edge slots and,
@@ -481,7 +485,14 @@ def advance_pull_value(graph: VGLGraph,
     epilogue fuses into the route's last Pallas kernel via the plan's static
     flag bits (route_fused.FinishSpec) — the reduction then never reads
     adjacency; on hosts without the fused plan it lowers to the equivalent
-    general edge_op through advance_pull_fast/advance_pull."""
+    general edge_op through advance_pull_fast/advance_pull.
+
+    src_in_src_order=True: ``src_vec`` is already in the SOURCE side's sorted
+    ordering (SCATTER when direction=GATHER and vice versa) — skips the
+    input's vertex route. Lets ping-pong algorithms (HITS auth/hub) keep state
+    in the orderings each phase produces/consumes and pay ZERO per-iteration
+    reorders (the reference pays change_traversal_direction each phase,
+    hits.hpp:5-176)."""
     from .route import apply_route, routed_backend
     from .pallas import route_fused
     mon = M.get(combine)
@@ -502,6 +513,17 @@ def advance_pull_value(graph: VGLGraph,
             or weight_op == "mul", (mon.name, weight_op)
 
     if not fused_ok:
+        if src_in_src_order:
+            # the generic paths expect direction-ordered inputs: convert back
+            # (costs the route this flag elides — correctness-only fallback)
+            from ..models import common as _mc
+            src_side = (TraversalDirection.SCATTER
+                        if direction == TraversalDirection.GATHER
+                        else TraversalDirection.GATHER)
+            src_vec = _mc.to_direction(graph, src_vec, src_side, direction)
+            if src_active is not None:
+                src_active = _mc.to_direction(graph, src_active, src_side,
+                                              direction)
         # generic-edge-op fallback (gather path on CPU, routed on TPU w/o flags)
         wops = {None: lambda x, w: x, "add": lambda x, w: x + w,
                 "min": jnp.minimum, "max": jnp.maximum, "mul": jnp.multiply}
@@ -533,6 +555,8 @@ def advance_pull_value(graph: VGLGraph,
         src_dg, dst_dg = graph.incoming, graph.outgoing
         inverse = True
         to_src_order = lambda a: apply_route(vplan, a, inverse=True)
+    if src_in_src_order:
+        to_src_order = lambda a: a
 
     weights = edge_values.slot_flat if weight_op is not None else None
     is_bool = src_vec.dtype == jnp.bool_
@@ -673,9 +697,12 @@ def advance_push_sparse(graph: VGLGraph,
     # fills the run. Zero-degree rows share start offsets and must not
     # scatter (their run length is 0).
     frontier_idx = jnp.arange(cap, dtype=jnp.int32)
-    mark_slot = jnp.where(frontier_valid & (degs > 0),
-                          jnp.minimum(starts_local, edge_capacity - 1),
-                          edge_capacity)
+    # rows whose start offset overflows edge_capacity (contract violation:
+    # frontier degree sum > capacity) must DROP, not clamp — a clamp would
+    # scatter onto slot capacity-1 and steal the last slot's ownership
+    mark_slot = jnp.where(frontier_valid & (degs > 0)
+                          & (starts_local < edge_capacity),
+                          starts_local, edge_capacity)
     owner_c = jnp.full(edge_capacity, -1, jnp.int32).at[mark_slot].max(
         frontier_idx, mode="drop")
     owner_c = jax.lax.cummax(owner_c)

@@ -82,10 +82,18 @@ def take_shard(stacked: VGLGraph) -> VGLGraph:
 
 def import_sharded(ec: EdgesContainer, n_shards: int,
                    cfg: VGLConfig = DEFAULT_CONFIG,
-                   _host_out: Optional[list] = None) -> ShardedTileGraph:
+                   _host_out: Optional[list] = None,
+                   keep_edge_slots: Optional[bool] = None,
+                   slim: bool = False) -> ShardedTileGraph:
     """Partition COO by destination range, build every shard against the
     unified layouts, stack. _host_out receives [(h_out, h_in), ...] per shard
-    for weight layout."""
+    for weight layout.
+
+    keep_edge_slots: ship per-slot CSR edge indices (needed only to lay out
+    EdgeArray weights); defaults to ec.weights is not None, like import_graph.
+    slim: strip every leaf the fused value-pull path never reads (adjacency
+    tiles, CSR arrays, renumber maps — see slim_value_pull) — the out-of-HBM
+    scale path for PR/HITS/BFS/CC, TPU-only (CPU fallbacks need adjacency)."""
     v, e = ec.vertices_count, ec.edges_count
     # hash (mod) destination partitioning: contiguous ranges concentrate
     # power-law RMAT hubs (low original ids) in shard 0, and the unified
@@ -128,19 +136,63 @@ def import_sharded(ec: EdgesContainer, n_shards: int,
             h_in.sorted_to_orig < v, h_in.sorted_to_orig, -1).astype(np.int64)))
         if _host_out is not None:
             _host_out.append((h_out, h_in))
-        graphs.append(VGLGraph(
-            outgoing=_to_device_directed(h_out, e_static=e_pad),
-            incoming=_to_device_directed(h_in, e_static=e_pad),
+        with_eidx = (ec.weights is not None if keep_edge_slots is None
+                     else keep_edge_slots)
+        g = VGLGraph(
+            outgoing=_to_device_directed(h_out, e_static=e_pad,
+                                         with_eidx=with_eidx),
+            incoming=_to_device_directed(h_in, e_static=e_pad,
+                                         with_eidx=with_eidx),
             advance_route=route, vertex_route_s_from_g=vroute,
             vertex_route_s_from_o=vroute_so, vertex_route_g_from_o=vroute_go,
             v=v, v_pad=v_pad, e=e_pad, out_slots=out_slots, in_slots=in_slots,
-            graph_format=GraphFormat.SHARDED_CSR))
+            graph_format=GraphFormat.SHARDED_CSR)
+        graphs.append(slim_value_pull(g) if slim else g)
 
     stacked = jax.tree.map(lambda *xs: jnp.stack(xs), *graphs)
     return ShardedTileGraph(
         stacked=stacked,
         edges_per_shard=jnp.asarray([len(p[0]) for p in parts], jnp.int32),
         n_shards=n_shards, v=v, v_pad=v_pad, e=e)
+
+
+def slim_value_pull(g: VGLGraph) -> VGLGraph:
+    """Strip every array the fused value-pull path (advance_pull_value with
+    route+flags, routed reorders) never reads: CSR arrays, renumber maps,
+    adjacency/eidx tiles. Keeps routes + huge seg_ids + static tile metadata.
+    ~3x less HBM per shard — the difference between RMAT-24 fitting one v5e
+    chip and not. TPU-only: the CPU gather fallbacks need the stripped leaves
+    (tests cover slim under VGL_PALLAS_INTERPRET=1, which forces the fused
+    path on CPU)."""
+    def slim_dir(dg: "DeviceDirectedGraph"):
+        return dataclasses.replace(
+            dg, row_ptr=None, col_idx=None, degrees=None,
+            sorted_to_orig=None, orig_to_sorted=None,
+            buckets=tuple(dataclasses.replace(b, adj=None, eidx=None)
+                          for b in dg.buckets),
+            huge=(None if dg.huge is None
+                  else dataclasses.replace(dg.huge, adj=None, eidx=None)))
+    return dataclasses.replace(g, outgoing=slim_dir(g.outgoing),
+                               incoming=slim_dir(g.incoming))
+
+
+def estimated_shard_slots(ec: EdgesContainer, n_shards: int,
+                          cfg: VGLConfig = DEFAULT_CONFIG) -> int:
+    """Max per-shard route size n (pow2 slot count) WITHOUT building anything —
+    pick n_shards so this stays ≤ 2^28 before paying the route build
+    (route_fused caps at 2^29; 2^28 leaves HBM headroom for the plan words)."""
+    v = ec.vertices_count
+    shard_id = ec.dst_ids % n_shards
+    worst = 0
+    for s in range(n_shards):
+        m = shard_id == s
+        for deg in (np.bincount(ec.src_ids[m], minlength=v),
+                    np.bincount(ec.dst_ids[m], minlength=v)):
+            lay = layout_of(deg, cfg)
+            slots = (lay.huge_chunks_pad * lay.huge_chunk_w
+                     + sum(w * rp for w, rp in lay.buckets))
+            worst = max(worst, _next_pow2(max(slots, 256)))
+    return worst
 
 
 def _pad_edges(h: HostDirectedCSR, e_pad: int) -> None:

@@ -394,3 +394,85 @@ def pagerank_sharded_scan(sg: ShardedTileGraph, ec, max_iterations: int = 100
     return _pr_scan_run(sg, jnp.asarray(_pad_v(rev, sg.v_pad)),
                         jnp.asarray(_pad_v(dmask, sg.v_pad, fill=False)),
                         max_iterations)
+
+
+@functools.partial(jax.jit, static_argnums=(1,))
+def hits_sharded_scan(sg: ShardedTileGraph, iterations: int = 20):
+    """Single-chip HITS over sequential shards (hits.hpp:5-176 semantics);
+    returns (auth, hub) [v_pad] ORIGINAL."""
+    v, v_pad = sg.v, sg.v_pad
+    real = (jnp.arange(v_pad) < v).astype(jnp.float32)
+
+    def normalize(x):
+        n = jnp.sqrt(jnp.sum(x * x))
+        return jnp.where(n > 0, x / n, x)
+
+    def it(_, state):
+        auth, hub = state
+        a = sharded_pull_scan(sg, hub, "add", direction=G) * real
+        auth = normalize(a)
+        h = sharded_pull_scan(sg, auth, "add", direction=S) * real
+        return auth, normalize(h)
+
+    return jax.lax.fori_loop(0, iterations, it, (real, real))
+
+
+@functools.partial(jax.jit, static_argnums=(2,))
+def bfs_sharded_scan(sg: ShardedTileGraph, source, max_levels: int = 10_000):
+    """Single-chip level-synchronous pull BFS over sequential shards;
+    (source,) -> levels [v_pad] ORIGINAL (source level 1, unvisited -1)."""
+    v, v_pad = sg.v, sg.v_pad
+    INF = jnp.iinfo(jnp.int32).max
+    real = jnp.arange(v_pad) < v
+    levels0 = jnp.where(jnp.arange(v_pad) == source, 1, INF)
+    levels0 = jnp.where(real, levels0, INF)
+
+    def cond(state):
+        levels, size, cur = state
+        return (size > 0) & (cur < max_levels)
+
+    def it(state):
+        levels, _, cur = state
+        on = levels == cur
+        reached = sharded_pull_scan(sg, on, "or", direction=G) & real
+        newly = reached & (levels == INF)
+        return (jnp.where(newly, cur + 1, levels),
+                jnp.sum(newly, dtype=jnp.int32), cur + 1)
+
+    levels, _, _ = jax.lax.while_loop(
+        cond, it, (levels0, jnp.int32(1), jnp.int32(1)))
+    return jnp.where(levels == INF, -1, levels)
+
+
+@functools.partial(jax.jit, static_argnums=(1,))
+def cc_sharded_scan(sg: ShardedTileGraph, max_iterations: int = 1000):
+    """Single-chip Shiloach-Vishkin over sequential shards; -> labels [v_pad]."""
+    v, v_pad = sg.v, sg.v_pad
+    real = jnp.arange(v_pad) < v
+    ids = jnp.arange(v_pad, dtype=jnp.int32)
+    labels0 = jnp.where(real, ids, jnp.int32(v))
+    BIGI = jnp.int32(jnp.iinfo(jnp.int32).max)
+
+    def hook(labels):
+        m_in = sharded_pull_scan(sg, labels, "min", direction=G)
+        m_out = sharded_pull_scan(sg, labels, "min", direction=S)
+        m = jnp.minimum(jnp.where(real, m_in, BIGI),
+                        jnp.where(real, m_out, BIGI))
+        return jnp.minimum(labels, m)
+
+    def jump(labels):
+        return jnp.take(labels, jnp.minimum(labels, v_pad - 1), mode="clip")
+
+    def cond(state):
+        labels, prev, it = state
+        return (it < max_iterations) & jnp.any(labels != prev)
+
+    def it_fn(state):
+        labels, _, it = state
+        new = jump(jump(hook(labels)))
+        new = jnp.where(real, new, jnp.int32(v))
+        return new, labels, it + 1
+
+    labels, _, _ = jax.lax.while_loop(
+        cond, it_fn, (labels0, jnp.full_like(labels0, -1), jnp.int32(0)))
+    return labels

@@ -27,10 +27,18 @@ def build_parser(app: str = "vgl") -> argparse.ArgumentParser:
     p.add_argument("-rmat", dest="rmat", action="store_true", default=True)
     p.add_argument("-ru", "-random_uniform", dest="ru", action="store_true")
     p.add_argument("-format", dest="graph_format", default="vect_csr",
-                   help="el/csr/csr_vg/vect_csr, or 'auto' (autotuner pick)")
+                   help="el/csr/csr_vg/vect_csr, or 'auto' (autotuner pick). "
+                        "csr_vg builds tiles but NO Beneš route: on TPU its "
+                        "advances take the element-gather path (~0.1 G/s) — "
+                        "it is a CPU/debug format; use vect_csr on TPU")
     p.add_argument("-check", dest="check", action="store_true")
     p.add_argument("-it", "-iterations", dest="iterations", type=int, default=10)
-    p.add_argument("-push", dest="push", action="store_true")
+    p.add_argument("-push", dest="push", action="store_true",
+                   help="all-active SSSP/SSWP: accepted for reference CLI "
+                        "parity but selects the SAME routed kernel as -pull "
+                        "(each sweep relaxes every edge either way; see "
+                        "models/sssp.py). -partial-active is the genuine "
+                        "push-mode (compacted-frontier scatter) path")
     p.add_argument("-pull", dest="pull", action="store_true")
     p.add_argument("-all-active", dest="all_active", action="store_true")
     p.add_argument("-partial-active", dest="partial_active", action="store_true")
