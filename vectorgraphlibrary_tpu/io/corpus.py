@@ -105,10 +105,29 @@ def load(name: str, fetch: bool = True) -> Optional[EdgesContainer]:
     return ec
 
 
+def bundled_graph() -> Tuple[str, Optional[EdgesContainer]]:
+    """The real-world graph shipped IN the repo (zero-egress fallback):
+    `data/pydeps.el.gz`, the Python-module import network snapshot built by
+    `apps/make_real_graph.py` (software-dependency networks are a standard
+    KONECT category; this one has ~31.6k modules / ~222k import edges with
+    power-law in-degrees). Converted once to .el_container in the cache."""
+    name = "pydeps"
+    cpath = _container_path(name)
+    if os.path.exists(cpath):
+        return name, EdgesContainer.load_from_binary_file(cpath)
+    src = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "data", "pydeps.el.gz")
+    if not os.path.exists(src):
+        return name, None
+    ec = import_konect(src)
+    ec.save_to_binary_file(cpath)
+    return name, ec
+
+
 def any_cached_graph() -> Tuple[Optional[str], Optional[EdgesContainer]]:
-    """(name, EdgesContainer) of some locally available corpus graph, or
-    (None, None). Prefers prepared .el_container files; does NOT hit the
-    network."""
+    """(name, EdgesContainer) of some locally available corpus graph, or the
+    bundled real graph as last resort. Prefers prepared .el_container files;
+    does NOT hit the network."""
     d = graph_dir()
     for f in sorted(os.listdir(d)):
         if f.endswith(".el_container"):
@@ -119,4 +138,4 @@ def any_cached_graph() -> Tuple[Optional[str], Optional[EdgesContainer]]:
         ec = load(name, fetch=False)
         if ec is not None:
             return name, ec
-    return None, None
+    return bundled_graph()

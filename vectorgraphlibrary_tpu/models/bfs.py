@@ -140,9 +140,8 @@ def vgl_bfs(graph: VGLGraph, source_vertex: int, alpha: float = 15.0,
     return VertexArray(values=out, direction=S)
 
 
-@functools.partial(jax.jit, static_argnums=(2, 3, 4, 5))
-def _do_bfs_device_run(graph: VGLGraph, source_sorted_g, id_cap: int,
-                       edge_cap: int, alpha: float, beta: float):
+def _do_bfs_levels(graph: VGLGraph, source_sorted_g, id_cap: int,
+                   edge_cap: int, alpha: float, beta: float):
     """Fully device-resident direction-optimizing BFS: the whole level loop is
     one lax.while_loop; each level picks top-down sparse push or bottom-up
     dense pull via a traced Beamer test (lax.cond compiles both branches, runs
@@ -231,6 +230,36 @@ def _do_bfs_device_run(graph: VGLGraph, source_sorted_g, id_cap: int,
         cond, body, (levels0, size0, nbrs0, jnp.int32(FIRST_LEVEL),
                      jnp.int32(e)))
     return jnp.where(levels == _INF32, UNVISITED, levels)
+
+
+@functools.partial(jax.jit, static_argnums=(2, 3, 4, 5))
+def _do_bfs_device_run(graph: VGLGraph, source_sorted_g, id_cap: int,
+                       edge_cap: int, alpha: float, beta: float):
+    return _do_bfs_levels(graph, source_sorted_g, id_cap, edge_cap, alpha, beta)
+
+
+@functools.partial(jax.jit, static_argnums=(2, 3, 4, 5))
+def _do_bfs_device_multi(graph: VGLGraph, sources_sorted_g, id_cap: int,
+                         edge_cap: int, alpha: float, beta: float):
+    """k full DO-BFS traversals sequentially in ONE device program — the
+    graph500 multi-root protocol (64 random roots, one timed batch). On a
+    tunneled TPU this also amortizes the per-dispatch host round-trip
+    (~28 ms measured) across the batch instead of paying it per traversal."""
+    return jax.lax.map(
+        lambda s: _do_bfs_levels(graph, s, id_cap, edge_cap, alpha, beta),
+        sources_sorted_g)
+
+
+def vgl_bfs_device_multi(graph: VGLGraph, source_vertices, alpha: float = 15.0,
+                         beta: float = 18.0, id_cap: int = 1 << 12,
+                         edge_cap: int = 1 << 16) -> VertexArray:
+    """Batched-root device DO-BFS: levels [k, v_pad] in GATHER ordering."""
+    srcs = jnp.take(graph.incoming.orig_to_sorted,
+                    jnp.asarray(source_vertices, jnp.int32))
+    ec2 = min(common.next_pow2(max(graph.e, 8)), edge_cap)
+    levels = _do_bfs_device_multi(graph, srcs, min(id_cap, graph.v_pad), ec2,
+                                  alpha, beta)
+    return VertexArray(values=levels, direction=G)
 
 
 def vgl_bfs_device(graph: VGLGraph, source_vertex: int, alpha: float = 15.0,

@@ -26,13 +26,16 @@ from ..graph.device import VGLGraph
 G, S = TraversalDirection.GATHER, TraversalDirection.SCATTER
 
 
-def aggregate_mean(graph: VGLGraph, feats: jax.Array,
-                   direction: TraversalDirection = G) -> jax.Array:
-    """Mean of neighbor features: [v_pad, F] -> [v_pad, F] (sorted ordering of
-    `direction`; neighbors = in-neighbors for GATHER)."""
+def aggregate_sum_count(graph: VGLGraph, feats: jax.Array,
+                        direction: TraversalDirection = G
+                        ) -> tuple[jax.Array, jax.Array]:
+    """Neighbor-feature SUMS + neighbor counts: [v_pad, F] -> ([v_pad, F],
+    [v_pad]) in `direction`'s sorted ordering (neighbors = in-neighbors for
+    GATHER). Separate sum/count lets edge-partitioned shards psum partials
+    before the mean divide (parallel/sharded.make_sage_loss_sharded)."""
     dg = graph.direction(direction)
     v_pad, f = graph.v_pad, feats.shape[1]
-    parts = []
+    sparts, cparts = [], []
     covered = 0
     if dg.huge is not None:
         h = dg.huge
@@ -44,7 +47,8 @@ def aggregate_mean(graph: VGLGraph, feats: jax.Array,
                                    indices_are_sorted=True)[:h.n_rows]
         rcnt = jax.ops.segment_sum(cnt, h.seg_ids, h.n_rows + 1,
                                    indices_are_sorted=True)[:h.n_rows]
-        parts.append(rsum / jnp.maximum(rcnt, 1)[:, None])
+        sparts.append(rsum)
+        cparts.append(rcnt)
         covered = h.n_rows
     for b in dg.buckets:
         if b.flat:
@@ -58,17 +62,30 @@ def aggregate_mean(graph: VGLGraph, feats: jax.Array,
             ssum = jnp.einsum("mlf,lg->mgf", masked, S).reshape(
                 -1, f)[:b.rows_pad]
             cnt = jnp.dot(valid.astype(jnp.float32), S).reshape(-1)[:b.rows_pad]
-            parts.append((ssum / jnp.maximum(cnt, 1)[:, None])[:b.rows])
+            sparts.append(ssum[:b.rows])
+            cparts.append(cnt[:b.rows])
         else:
             gathered = jnp.take(feats, b.adj, axis=0, mode="clip")  # [rp, W, F]
             valid = (b.adj < v_pad)[:, :, None]
             ssum = jnp.sum(jnp.where(valid, gathered, 0.0), axis=1)
-            cnt = jnp.maximum(jnp.sum(valid[:, :, 0], axis=1), 1)
-            parts.append((ssum / cnt[:, None])[:b.rows])
+            cnt = jnp.sum(valid[:, :, 0], axis=1)
+            sparts.append(ssum[:b.rows])
+            cparts.append(cnt[:b.rows])
         covered = b.row_start + b.rows
     if covered < v_pad:
-        parts.append(jnp.zeros((v_pad - covered, f), feats.dtype))
-    return jnp.concatenate(parts, axis=0)
+        sparts.append(jnp.zeros((v_pad - covered, f), feats.dtype))
+        cparts.append(jnp.zeros((v_pad - covered,), jnp.float32))
+    ssum = jnp.concatenate(sparts, axis=0)
+    cnt = jnp.concatenate([jnp.asarray(c, jnp.float32) for c in cparts])
+    return ssum, cnt
+
+
+def aggregate_mean(graph: VGLGraph, feats: jax.Array,
+                   direction: TraversalDirection = G) -> jax.Array:
+    """Mean of neighbor features: [v_pad, F] -> [v_pad, F] (sorted ordering of
+    `direction`; neighbors = in-neighbors for GATHER)."""
+    ssum, cnt = aggregate_sum_count(graph, feats, direction)
+    return ssum / jnp.maximum(cnt, 1)[:, None]
 
 
 def sample_neighbors(graph: VGLGraph, k: int, key,

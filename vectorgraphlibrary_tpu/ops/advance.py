@@ -561,13 +561,16 @@ def advance_pull_value(graph: VGLGraph,
     weights = edge_values.slot_flat if weight_op is not None else None
     is_bool = src_vec.dtype == jnp.bool_
     if is_bool:
-        src_vec = src_vec.astype(jnp.int32)
+        # bool pulls (BFS bottom-up "or") ride the route as int8: 1 B/slot of
+        # HBM traffic instead of 4 — the route kernels cast to int32 in VMEM,
+        # so only the memory-bound loads/stores shrink
+        src_vec = src_vec.astype(jnp.int8)
         if mon.name == "or":
-            mon = M.get("max")          # or over {0,1} int32 == max
+            mon = M.get("max")          # or over {0,1} == max
     dtype = out_dtype or (jnp.result_type(src_vec.dtype, weights.dtype)
                           if weights is not None else src_vec.dtype)
     src_vec = src_vec.astype(dtype)
-    assert jnp.dtype(dtype).itemsize == 4, dtype
+    assert jnp.dtype(dtype).itemsize in (1, 4), dtype
     # bool-or runs as max over {0,1} int32: the mask/empty-row identity must
     # stay 0 (int32's max-identity would cast back to True)
     ident = 0 if is_bool else _mask_value(mon, dtype)

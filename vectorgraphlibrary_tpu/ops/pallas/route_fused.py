@@ -167,7 +167,11 @@ def _mid_kernel(kb: int, inverse: bool, finish, *refs):
         else:
             x_ref, w_ref, o_ref = refs
             wt_ref = None
+    in_dtype = x_ref.dtype
     x = x_ref[:]
+    if in_dtype.itemsize == 1:
+        # int8 data path (bool pulls): HBM moves 1 B/slot, compute runs int32
+        x = x.astype(jnp.int32)
     w = w_ref[:]
     b = 1 << kb
     if not inverse:
@@ -190,7 +194,7 @@ def _mid_kernel(kb: int, inverse: bool, finish, *refs):
     if finish is not None:
         x = _finish(x, w, None if wt_ref is None else wt_ref[:],
                     finish, fwd=not inverse, dtype=x.dtype)
-    o_ref[:] = x
+    o_ref[:] = x.astype(in_dtype)
 
 
 def _big_kernel(pairs, axis: int, fwd_for_finish: bool, finish, *refs):
@@ -201,7 +205,10 @@ def _big_kernel(pairs, axis: int, fwd_for_finish: bool, finish, *refs):
     else:
         x_ref, w_ref, o_ref = refs
         wt_ref = None
+    in_dtype = x_ref.dtype
     x = x_ref[:]
+    if in_dtype.itemsize == 1:
+        x = x.astype(jnp.int32)
     w = w_ref[:]
     for bit, dist in pairs:
         sw = ((w >> bit) & 1) == 1
@@ -209,7 +216,7 @@ def _big_kernel(pairs, axis: int, fwd_for_finish: bool, finish, *refs):
     if finish is not None:
         x = _finish(x, w, None if wt_ref is None else wt_ref[:],
                     finish, fwd=fwd_for_finish, dtype=x.dtype)
-    o_ref[:] = x
+    o_ref[:] = x.astype(in_dtype)
 
 
 # largest q extent one big kernel may hold resident (VMEM budget: measured
@@ -354,7 +361,7 @@ def apply_route_fused(plan, x: jax.Array, inverse: bool = False,
     orig_dtype = x.dtype
     if x.dtype == jnp.bool_:
         x = x.astype(jnp.int32)
-    assert x.dtype.itemsize == 4, x.dtype
+    assert x.dtype.itemsize in (1, 4), x.dtype   # int8 = bool-pull fast path
     x2 = x.reshape(-1, 128)
     if not inverse:
         if kq:

@@ -136,7 +136,12 @@ def _lane_shuffle_tpu(vals2d: jax.Array, lane_idx: jax.Array) -> jax.Array:
         tr //= 2
 
     def kernel(v_ref, i_ref, o_ref):
-        o_ref[:] = jnp.take_along_axis(v_ref[:], i_ref[:], axis=1)
+        v = v_ref[:]
+        if v.dtype.itemsize == 1:        # int8 shuffles run int32 in VMEM
+            o_ref[:] = jnp.take_along_axis(
+                v.astype(jnp.int32), i_ref[:], axis=1).astype(v.dtype)
+        else:
+            o_ref[:] = jnp.take_along_axis(v, i_ref[:], axis=1)
 
     return pl.pallas_call(
         kernel, grid=(r // tr,),

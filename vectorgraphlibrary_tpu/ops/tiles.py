@@ -44,6 +44,13 @@ def group_reduce_flat(msg2d: jax.Array, width: int, mon, rows: int) -> jax.Array
                       preferred_element_type=jnp.float32,
                   precision=jax.lax.Precision.HIGHEST)
         return red.reshape(-1)[:rows].astype(msg2d.dtype)
+    if mon.name == "max" and msg2d.dtype.itemsize == 1:
+        # int8 bool-pull reduction (values in {0,1}, identity 0 — the only
+        # producer is advance_pull_value's is_bool path): max == any == sum>0
+        red = jnp.dot(msg2d.astype(jnp.float32), _group_matrix(width),
+                      preferred_element_type=jnp.float32,
+                      precision=jax.lax.Precision.HIGHEST)
+        return (red > 0).reshape(-1)[:rows].astype(msg2d.dtype)
     if mon.name == "or" and msg2d.dtype == jnp.dtype(bool):
         red = jnp.dot(msg2d.astype(jnp.float32), _group_matrix(width),
                       preferred_element_type=jnp.float32,
@@ -79,6 +86,12 @@ def broadcast_rows_flat(x_slice: jax.Array, width: int, m: int) -> jax.Array:
     and a single f32 matmul would silently corrupt them."""
     groups = 128 // width
     gm = _group_matrix(width).T
+    if x_slice.dtype.itemsize == 1:
+        # int8 (bool-pull) values fit f32 exactly — one matmul, no hi/lo split
+        out = jnp.dot(x_slice.reshape(m, groups).astype(jnp.float32), gm,
+                      preferred_element_type=jnp.float32,
+                      precision=jax.lax.Precision.HIGHEST)
+        return out.astype(x_slice.dtype)
     if jnp.issubdtype(x_slice.dtype, jnp.integer):
         x2 = x_slice.reshape(m, groups)
         hi = jnp.dot((x2 >> 16).astype(jnp.float32), gm,

@@ -34,8 +34,10 @@ def merge_all(x, merge_op: str, axis: str = EDGE_AXIS):
 
 
 def merge_changed(x, prev, merge_op: str, axis: str = EDGE_AXIS):
-    """EXCHANGE_RECENTLY_CHANGED analog: only changed entries participate; the
-    merge identity stands in for 'not sent' (reference merge_op path :146-150)."""
+    """EXCHANGE_RECENTLY_CHANGED analog, dense form: only changed entries
+    participate; the merge identity stands in for 'not sent' (reference
+    merge_op path :146-150). For the compacted-delta form the reference
+    actually sends (`mpi_exchange.hpp:14-53`), see merge_changed_sparse."""
     if merge_op == "add":
         return prev + jax.lax.psum(x - prev, axis)
     if merge_op == "min":
@@ -46,7 +48,73 @@ def merge_changed(x, prev, merge_op: str, axis: str = EDGE_AXIS):
         ident = jnp.array(-jnp.inf, x.dtype) if jnp.issubdtype(
             x.dtype, jnp.floating) else jnp.array(jnp.iinfo(x.dtype).min, x.dtype)
         return jnp.maximum(prev, jax.lax.pmax(jnp.where(x != prev, x, ident), axis))
+    if merge_op == "or":
+        # or-merge is idempotent and monotone: unchanged entries equal prev,
+        # so the plain elementwise or of every device's view IS the
+        # changed-only merge (BFS-style distributed frontier merges hit this)
+        return prev | jax.lax.pmax(x.astype(jnp.int32), axis).astype(x.dtype)
     raise ValueError(merge_op)
+
+
+def _compact_delta(x, prev, capacity: int):
+    """Per-device copy_if of changed (index, value) pairs into a static
+    [capacity] buffer (the reference's prepare_exchange_data,
+    mpi_exchange.hpp:14-53). Returns (idx, val, count); overflow entries are
+    dropped — callers must guard with the collective overflow test."""
+    n = x.shape[0]
+    changed = x != prev
+    pos = jnp.cumsum(changed.astype(jnp.int32)) - 1
+    slot = jnp.where(changed, jnp.minimum(pos, capacity - 1), capacity)
+    arange = jnp.arange(n, dtype=jnp.int32)
+    idx = jnp.full((capacity + 1,), n, jnp.int32).at[slot].set(
+        arange, mode="drop")[:capacity]
+    val = jnp.take(x, jnp.minimum(idx, n - 1), mode="clip")
+    count = jnp.sum(changed, dtype=jnp.int32)
+    return idx, val, count
+
+
+def merge_changed_sparse(x, prev, merge_op: str, capacity: int,
+                         axis: str = EDGE_AXIS):
+    """EXCHANGE_RECENTLY_CHANGED, compacted form: each device copy_if-compacts
+    its changed (index, value) deltas into a fixed-capacity buffer, the
+    buffers ride ONE all_gather (the XLA collective that replaces the
+    reference's power-of-two-shifted MPI_Sendrecv ring,
+    mpi_exchange.hpp:156-187), and every device scatter-merges the gathered
+    deltas locally. Falls back to the dense masked allreduce when ANY device's
+    delta overflows `capacity` (lax.cond — both branches compiled, one runs).
+
+    Convergence tails of SSSP/CC change a handful of vertices per iteration:
+    the sparse branch then moves D*capacity*(8..12) bytes instead of the dense
+    path's full-array reduce. Crossover: capacity ≈ v_pad / (3*D) equalizes
+    bytes; pick capacity well below that (e.g. v_pad/64)."""
+    if merge_op not in ("min", "max", "add", "or"):
+        raise ValueError(merge_op)
+    n = x.shape[0]
+
+    def sparse(_):
+        idx, val, _ = _compact_delta(x, prev, capacity)
+        gi = jax.lax.all_gather(idx, axis)          # [D, cap]
+        gv = jax.lax.all_gather(val, axis)
+        gi_f = gi.reshape(-1)
+        gv_f = gv.reshape(-1)
+        safe = jnp.where(gi_f < n, gi_f, n)         # idx==n (pad) -> dropped
+        at = prev.at[safe]
+        if merge_op == "min":
+            return at.min(gv_f, mode="drop")
+        if merge_op == "max":
+            return at.max(gv_f, mode="drop")
+        if merge_op == "or":
+            return at.max(gv_f, mode="drop")        # or over {0,1}
+        # add: deltas accumulate relative to prev
+        delta = gv_f - jnp.take(prev, safe, mode="clip")
+        return at.add(jnp.where(gi_f < n, delta, jnp.zeros_like(delta)),
+                      mode="drop")
+
+    def dense(_):
+        return merge_changed(x, prev, merge_op, axis)
+
+    worst = jax.lax.pmax(jnp.sum(x != prev, dtype=jnp.int32), axis)
+    return jax.lax.cond(worst <= capacity, sparse, dense, None)
 
 
 def gather_private(x_local, axis: str = VERTEX_AXIS):

@@ -38,7 +38,30 @@ def run_dryrun(n_devices: int) -> None:
     sssp_fn = sharded.make_sssp_sharded(sg, flat_mesh, wst)
     dist = sssp_fn(sg.stacked, wst, jnp.int32(0))
     assert bool(jnp.isfinite(dist).any())
-    jax.block_until_ready((ranks, levels, dist))
+    # work-efficient variants: partial-active SSSP (compacted-delta exchange)
+    # + direction-optimizing BFS (sparse push / dense pull switch)
+    sssp_p = sharded.make_sssp_sharded_partial(sg, flat_mesh, wst,
+                                               delta_capacity=128)
+    dist_p = sssp_p(sg.stacked, wst, jnp.int32(0))
+    assert bool(jnp.isfinite(dist_p).any())
+    do_bfs = sharded.make_bfs_do_sharded(sg, flat_mesh, id_cap=1 << 8,
+                                         edge_cap=1 << 12)
+    lv = do_bfs(sg.stacked, jnp.int32(0))
+    assert int(jnp.sum(lv > 0)) >= 1
+    # distributed GraphSAGE train step (BASELINE config 5)
+    import optax
+    from ..models import gnn
+    rng = np.random.default_rng(0)
+    fdim, classes = 4, 3
+    feats = jnp.asarray(rng.normal(size=(sg.v_pad, fdim)).astype(np.float32))
+    labels = jnp.asarray(rng.integers(0, classes, sg.v_pad).astype(np.int32))
+    tmask = jnp.asarray(rng.random(sg.v_pad) < 0.5)
+    params = gnn.init_sage(jax.random.key(0), fdim, 8, classes)
+    opt = optax.adam(1e-2)
+    gstep = sharded.make_sage_train_step_sharded(sg, flat_mesh, opt)
+    params, _, loss = gstep(params, opt.init(params), feats, labels, tmask)
+    assert bool(jnp.isfinite(loss))
+    jax.block_until_ready((ranks, levels, dist, dist_p, lv, loss))
 
     # ---- the 2-D (edge x vertex) COO fallback path ----
     n_v = 2 if n_devices % 2 == 0 and n_devices >= 2 else 1

@@ -42,14 +42,20 @@ E = EDGE_AXIS
 
 
 def _shard_pull_original(g, x_o, combine, direction=G, edge_values=None,
-                         weight_op=None, exclude_self_loops=False):
-    """One shard's routed pull with input/output in ORIGINAL ordering."""
+                         weight_op=None, exclude_self_loops=False,
+                         src_active_o=None):
+    """One shard's routed pull with input/output in ORIGINAL ordering.
+    src_active_o: optional bool [v_pad] (ORIGINAL) masking message sources —
+    the partial-active restriction (reference partial variants relax only from
+    recently-changed vertices, sssp/shortest_paths.hpp:135-141)."""
     d = direction
     x_d = common.to_direction(g, x_o, O, d)
+    act_d = (None if src_active_o is None
+             else common.to_direction(g, src_active_o, O, d))
     out = advance_pull_value(g, x_d, combine, edge_values=edge_values,
                              weight_op=weight_op,
                              exclude_self_loops=exclude_self_loops,
-                             direction=d)
+                             src_active=act_d, direction=d)
     return common.to_direction(g, out, d, O)
 
 
@@ -336,6 +342,199 @@ def make_coloring_sharded(sg: ShardedTileGraph, mesh, seed: int = 0,
         return colors
 
     return _smap(mesh, body_fn, 0)
+
+
+def make_sssp_sharded_partial(sg: ShardedTileGraph, mesh, weights_stacked,
+                              delta_capacity: Optional[int] = None,
+                              max_iterations: int = 10_000):
+    """Distributed PARTIAL-ACTIVE Bellman-Ford — the reference's work-frontier
+    MPI SSSP (`algorithms/sssp/shortest_paths.hpp:135-141`: relax only from
+    recently-changed vertices, then EXCHANGE_RECENTLY_CHANGED min-merge).
+    Per iteration each shard pulls candidates restricted to changed sources
+    (src_active masking) and the distance merge rides the compacted-delta
+    exchange (collectives.merge_changed_sparse) with the dense allreduce as
+    the big-delta fallback. jitted (stacked, weights, source) -> dist."""
+    from . import collectives as C
+    v, v_pad = sg.v, sg.v_pad
+    real = jnp.arange(v_pad) < v
+    if delta_capacity is None:
+        delta_capacity = max(256, v_pad // 64)
+
+    def body_fn(gstack, wstack, source):
+        g = take_shard(gstack)
+        ev = take_shard(wstack).incoming
+        dist0 = jnp.where(jnp.arange(v_pad) == source, 0.0, jnp.inf)
+        dist0 = jnp.where(real, dist0, jnp.inf).astype(jnp.float32)
+        changed0 = jnp.arange(v_pad) == source
+
+        def cond(state):
+            dist, changed, it = state
+            return (it < max_iterations) & jnp.any(changed)
+
+        def it_fn(state):
+            dist, changed, it = state
+            cand = _shard_pull_original(g, dist, "min", direction=G,
+                                        edge_values=ev, weight_op="add",
+                                        src_active_o=changed)
+            local = jnp.minimum(dist, jnp.where(real, cand, jnp.inf))
+            new = C.merge_changed_sparse(local, dist, "min", delta_capacity,
+                                         axis=E)
+            return new, new < dist, it + 1
+
+        dist, _, _ = jax.lax.while_loop(cond, it_fn,
+                                        (dist0, changed0, jnp.int32(0)))
+        return dist
+
+    in_specs = (P(E), P(E), P())
+    return jax.jit(shard_map(body_fn, mesh=mesh, in_specs=in_specs,
+                             out_specs=P(), check_rep=False))
+
+
+def make_bfs_do_sharded(sg: ShardedTileGraph, mesh, alpha: float = 15.0,
+                        beta: float = 18.0, id_cap: int = 1 << 12,
+                        edge_cap: int = 1 << 16, max_levels: int = 10_000):
+    """Distributed DIRECTION-OPTIMIZING BFS over the sharded flagship: per
+    level a traced Beamer test picks top-down (per-shard compacted sparse push
+    over the shard's outgoing container + pmin merge) or bottom-up (per-shard
+    dense or-pull + or merge) — the sharded analog of the device-resident
+    state machine in models/bfs.py (reference hardwired_do_bfs.hpp:925-990).
+    State (levels) stays replicated in ORIGINAL order; frontier scalars
+    (size, out-neighbour count) are collective-synchronized inside the loop.
+    jitted (stacked, source) -> levels [v_pad, O] (source=1, unvisited=-1)."""
+    from ..ops.advance import advance_push_sparse
+    from ..graph.frontier import Frontier, compact_ids
+    from ..config import Sparsity
+    v, v_pad = sg.v, sg.v_pad
+    INF = jnp.iinfo(jnp.int32).max
+    real = jnp.arange(v_pad) < v
+    id_cap = min(id_cap, v_pad)
+
+    def body_fn(gstack, source):
+        g = take_shard(gstack)
+        # global out-degrees in ORIGINAL order: sum of per-shard out-degrees
+        outdeg_o = jax.lax.psum(
+            common.to_direction(g, g.outgoing.degrees, S, O), E)
+        ecap = edge_cap
+        levels0 = jnp.where(jnp.arange(v_pad) == source, 1, INF)
+        levels0 = jnp.where(real, levels0, INF)
+
+        def td_branch(args):
+            levels, cur = args
+            mask_o = levels == cur
+            fr = Frontier(mask=mask_o, size=jnp.sum(mask_o, dtype=jnp.int32),
+                          neighbours_count=jnp.int32(0), direction=O,
+                          sparsity=Sparsity.SPARSE)
+            ids_o, valid = compact_ids(fr, id_cap)
+            sid = jnp.take(g.outgoing.orig_to_sorted,
+                           jnp.minimum(ids_o, v_pad - 1), mode="clip")
+            levels_s = common.to_direction(g, levels, O, S)
+            out_s = advance_push_sparse(
+                g, sid, valid, ecap, {"l": levels_s},
+                lambda s, d, w: jnp.zeros_like(s["l"]) + (cur + 1),
+                "min", levels_s, direction=S)
+            out_o = common.to_direction(g, out_s, S, O)
+            return jnp.minimum(levels, jax.lax.pmin(
+                jnp.where(real, out_o, INF), E))
+
+        def bu_branch(args):
+            levels, cur = args
+            on = levels == cur
+            reached = _shard_pull_original(g, on, "or", direction=G)
+            reached = _merge(reached & real, "or")
+            return jnp.where((levels == INF) & reached, cur + 1, levels)
+
+        def cond(state):
+            levels, size, nbrs, cur, unexplored = state
+            return (size > 0) & (cur < max_levels)
+
+        def body(state):
+            levels, size, nbrs, cur, unexplored = state
+            td_ok = ((nbrs.astype(jnp.float32)
+                      < unexplored.astype(jnp.float32) / alpha)
+                     & (size < id_cap) & (nbrs < ecap))
+            new_levels = jax.lax.cond(td_ok, td_branch, bu_branch,
+                                      (levels, cur))
+            newly = new_levels < levels
+            dsize = jnp.sum(newly, dtype=jnp.int32)
+            dnbrs = jnp.sum(jnp.where(newly, outdeg_o, 0), dtype=jnp.int32)
+            return (new_levels, dsize, dnbrs, cur + 1,
+                    jnp.maximum(unexplored - dnbrs, 0))
+
+        size0 = jnp.int32(1)
+        nbrs0 = jnp.take(outdeg_o, source)
+        levels, _, _, _, _ = jax.lax.while_loop(
+            cond, body, (levels0, size0, nbrs0, jnp.int32(1),
+                         jnp.int32(min(sg.e, 2**31 - 1))))
+        return jnp.where(levels == INF, -1, levels)
+
+    return _smap(mesh, body_fn, 1)
+
+
+def _shard_aggregate_sum_count(g, feats_o):
+    """Per-shard neighbor-feature sums + counts over the shard's in-edges,
+    ORIGINAL ordering (gathers are fine here: this is the virtual-mesh /
+    dryrun GNN path; the TPU single-chip path uses models/gnn.py)."""
+    from ..models.gnn import aggregate_sum_count
+    feats_g = jnp.take(feats_o, g.incoming.sorted_to_orig, axis=0,
+                       mode="clip")
+    ssum_g, cnt_g = aggregate_sum_count(g, feats_g, direction=G)
+    ssum_o = jnp.take(ssum_g, g.incoming.orig_to_sorted, axis=0, mode="clip")
+    cnt_o = jnp.take(cnt_g, g.incoming.orig_to_sorted, mode="clip")
+    return ssum_o, cnt_o
+
+
+def make_sage_loss_sharded(sg: ShardedTileGraph, mesh):
+    """Distributed GraphSAGE-style 2-layer mean-aggregate forward + masked
+    cross-entropy loss (BASELINE config 5): features/params replicated,
+    aggregation edge-partitioned over the shard axis (per-shard sum+count
+    pulls, psum merge). Differentiable through shard_map — psum transposes to
+    the replicated-gradient exchange, so `jax.grad` of this loss IS the
+    distributed training step's gradient. Returns loss_fn(params, feats,
+    labels, mask)."""
+    v, v_pad = sg.v, sg.v_pad
+    real = jnp.arange(v_pad) < v
+
+    def body_fn(gstack, wself1, wnbr1, b1, wself2, wnbr2, b2,
+                feats, labels, mask):
+        g = take_shard(gstack)
+
+        def agg_mean(h):
+            ssum, cnt = _shard_aggregate_sum_count(g, h)
+            ssum = jax.lax.psum(ssum, E)
+            cnt = jax.lax.psum(cnt, E)
+            return ssum / jnp.maximum(cnt, 1)[:, None]
+
+        h = jax.nn.relu(feats @ wself1 + agg_mean(feats) @ wnbr1 + b1)
+        logits = h @ wself2 + agg_mean(h) @ wnbr2 + b2
+        logp = jax.nn.log_softmax(logits)
+        nll = -jnp.take_along_axis(logp, labels[:, None], axis=1)[:, 0]
+        m = mask & real
+        return jnp.sum(jnp.where(m, nll, 0.0)) / jnp.maximum(jnp.sum(m), 1)
+
+    smapped = shard_map(body_fn, mesh=mesh,
+                        in_specs=(P(E),) + (P(),) * 9,
+                        out_specs=P(), check_rep=False)
+
+    def loss_fn(params, feats, labels, mask):
+        return smapped(sg.stacked, params.w_self1, params.w_nbr1, params.b1,
+                       params.w_self2, params.w_nbr2, params.b2,
+                       feats, labels, mask)
+    return loss_fn
+
+
+def make_sage_train_step_sharded(sg: ShardedTileGraph, mesh, optimizer):
+    """jitted distributed GraphSAGE train step: (params, opt_state, feats,
+    labels, mask) -> (params, opt_state, loss)."""
+    loss_fn = make_sage_loss_sharded(sg, mesh)
+
+    @jax.jit
+    def step(params, opt_state, feats, labels, mask):
+        loss, grads = jax.value_and_grad(loss_fn)(params, feats, labels, mask)
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        new_params = jax.tree_util.tree_map(lambda p, u: p + u, params,
+                                            updates)
+        return new_params, opt_state, loss
+    return step
 
 
 # ---------------------------------------------------------------------------
