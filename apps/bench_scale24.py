@@ -1,0 +1,130 @@
+#!/usr/bin/env python
+"""RMAT-24 on the TPU: load the persisted sharded flagship graph
+(apps/build_scale24.py) and run PR / HITS / BFS / CC through the
+sequential-shard scan path (parallel/sharded.*_scan — the out-of-HBM
+execution model: peak working set is ONE shard's route).
+
+Writes BENCH_SCALE24.json (the BASELINE "twitter-scale RMAT-24, 1 host
+edge-partitioned" configs) and prints one JSON line per metric.
+"""
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+SCALE = int(os.environ.get("VGL_S24_SCALE", "24"))
+DEGREE = int(os.environ.get("VGL_S24_DEGREE", "16"))
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+CACHE = os.path.join(REPO, ".cache")
+
+
+def log(msg):
+    print(f"[{time.strftime('%H:%M:%S')}] {msg}", flush=True)
+
+
+def main():
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+    from vectorgraphlibrary_tpu.runtime.cache import enable_persistent_cache
+    enable_persistent_cache()
+    from vectorgraphlibrary_tpu.graph import persistence
+    from vectorgraphlibrary_tpu.parallel import sharded
+    from vectorgraphlibrary_tpu.io import generation
+
+    prefix = os.path.join(CACHE, f"rmat{SCALE}_{DEGREE}_slim")
+    if not os.path.exists(f"{prefix}.meta.json"):
+        print(json.dumps({"note": f"no persisted scale-{SCALE} graph; run "
+                          "apps/build_scale24.py first"}))
+        return 1
+
+    def sync(x):
+        return float(np.asarray(x.ravel()[0]))
+
+    metrics = []
+
+    def emit(metric, value, unit, **extra):
+        rec = {"metric": metric, "value": round(value, 1), "unit": unit,
+               "scale": SCALE, "avg_degree": DEGREE}
+        rec.update(extra)
+        metrics.append(rec)
+        print(json.dumps(rec), flush=True)
+        with open(os.path.join(REPO, f"BENCH_SCALE{SCALE}.json"), "w") as f:
+            json.dump(metrics, f, indent=1)
+
+    t0 = time.time()
+    log(f"loading {prefix} ...")
+    sg = persistence.load_sharded_graph(prefix)
+    e = sg.e
+    log(f"loaded {sg.n_shards} shards |V|={sg.v:,} |E|={e:,} "
+        f"({time.time()-t0:.0f}s)")
+
+    # PR consts need the COO degrees; regenerate deterministically (fast
+    # relative to the import we skipped) unless cached
+    consts_path = f"{prefix}.prconsts.npz"
+    if os.path.exists(consts_path):
+        z = np.load(consts_path)
+        rev, dmask = z["rev"], z["dmask"]
+    else:
+        log("regenerating COO for PR constants ...")
+        ec = generation.rmat(scale=SCALE, avg_degree=DEGREE, seed=42,
+                             weighted=False)
+        rev, dmask = sharded.pr_consts(ec)
+        np.savez(consts_path, rev=rev, dmask=dmask)
+        del ec
+        log("COO freed")
+
+    iters = 10
+    from vectorgraphlibrary_tpu.parallel.sharded import (
+        _pr_scan_run, _pad_v, hits_sharded_scan, bfs_sharded_scan,
+        cc_sharded_scan)
+    revd = jnp.asarray(_pad_v(rev, sg.v_pad))
+    dmaskd = jnp.asarray(_pad_v(dmask, sg.v_pad, fill=False))
+
+    log("PR compile+warmup ...")
+    sync(_pr_scan_run(sg, revd, dmaskd, iters))
+    t0 = time.perf_counter()
+    ranks = _pr_scan_run(sg, revd, dmaskd, iters)
+    s = float(jnp.sum(ranks))
+    dt = time.perf_counter() - t0
+    assert 0.5 < s < 1.5, s
+    emit(f"pagerank_rmat{SCALE}_mteps", e * iters / dt / 1e6, "MTEPS",
+         iters=iters, ranks_sum=round(s, 4))
+
+    log("HITS compile+warmup ...")
+    hits_iters = 5
+    sync(hits_sharded_scan(sg, hits_iters)[0])
+    t0 = time.perf_counter()
+    auth, hub = hits_sharded_scan(sg, hits_iters)
+    sync(auth)
+    dt = time.perf_counter() - t0
+    emit(f"hits_rmat{SCALE}_mteps", e * hits_iters * 2 / dt / 1e6, "MTEPS",
+         iters=hits_iters)
+
+    log("BFS compile+warmup ...")
+    sync(bfs_sharded_scan(sg, jnp.int32(1)).astype(jnp.int32))
+    t0 = time.perf_counter()
+    lv = bfs_sharded_scan(sg, jnp.int32(2))
+    reached = int(jnp.sum(lv > 0))
+    dt = time.perf_counter() - t0
+    emit(f"bfs_rmat{SCALE}_gteps", e / dt / 1e9, "GTEPS", reached=reached)
+
+    log("CC compile+warmup ...")
+    sync(cc_sharded_scan(sg, 64).astype(jnp.int32))
+    t0 = time.perf_counter()
+    labels = cc_sharded_scan(sg, 64)
+    ncomp = int(jnp.unique(labels[:sg.v]).shape[0])
+    dt = time.perf_counter() - t0
+    emit(f"cc_sv_rmat{SCALE}_mteps", e / dt / 1e6, "MTEPS",
+         components=ncomp)
+
+    log("done")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -75,6 +75,7 @@ def real_graph_corpus():
     whatever sits under .graphs/ — see io/corpus.py)."""
     sys.path.insert(0, REPO)
     from vectorgraphlibrary_tpu.io import corpus
+    corpus.bundled_graph()       # materialize the in-repo real graph (pydeps)
     rows = []
     d = corpus.graph_dir()
     for f in sorted(os.listdir(d)):

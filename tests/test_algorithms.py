@@ -95,6 +95,33 @@ def test_sssp_partial_active_vs_oracle(setup):
     assert verify.verify_results(got, want) == 0
 
 
+def test_sssp_partial_device_vs_oracle(setup):
+    """Device-resident partial-active SSSP (one jitted while_loop, sparse-push
+    / dense-pull lax.switch) vs the oracle — both push-capable and
+    dense-forcing capacities."""
+    ec, g, ea = setup
+    for seed, id_cap, edge_cap in ((8, 1 << 10, 1 << 13), (9, 64, 256)):
+        src = common.select_random_source(ec, seed=seed)
+        dist, iters = sssp.vgl_dijkstra_partial_device(
+            g, ea, src, id_cap=id_cap, edge_cap=edge_cap)
+        got = vgl.as_original_numpy(dist, g)
+        want = sssp.seq_dijkstra(ec, src)
+        assert verify.verify_results(got, want) == 0
+        assert iters >= 2
+
+
+def test_bfs_device_multi_matches_single(setup):
+    """Batched-root device DO-BFS returns the same levels as per-root runs."""
+    ec, g, ea = setup
+    roots = [common.select_random_source(ec, seed=s) for s in (2, 4)]
+    multi = np.asarray(bfs.vgl_bfs_device_multi(
+        g, roots, id_cap=1 << 10, edge_cap=1 << 13).values)
+    for i, src in enumerate(roots):
+        single = np.asarray(bfs.vgl_bfs_device(
+            g, src, id_cap=1 << 10, edge_cap=1 << 13).values)
+        np.testing.assert_array_equal(multi[i], single)
+
+
 def test_sssp_partial_equals_all_active(setup_ru):
     ec, g, ea = setup_ru
     src = common.select_random_source(ec, seed=7)

@@ -144,6 +144,99 @@ def vgl_dijkstra_partial_active(graph: VGLGraph, weights: EdgeArray,
     return VertexArray(values=dist, direction=direction), iters
 
 
+def _sssp_partial_device(graph: VGLGraph, w_in, w_out, source_sorted_g,
+                         id_cap: int, edge_cap: int):
+    """Device-resident partial-active Bellman-Ford: the whole relaxation loop
+    is ONE lax.while_loop; each iteration a traced test picks compacted sparse
+    push (small changed set, tiered static capacities) or dense pull
+    restricted to changed sources (src_active masks values BEFORE routing, so
+    the dense branch costs the same as one all-active sweep) — the
+    single-dispatch analog of vgl_dijkstra_partial_active, mirroring the
+    device DO-BFS state machine (models/bfs.py _do_bfs_levels). State (dist,
+    changed) lives in GATHER ordering; push steps route to/from SCATTER."""
+    from ..graph.frontier import Frontier, compact_ids
+    v, v_pad = graph.v, graph.v_pad
+    outdeg_s = graph.outgoing.degrees
+    outdeg_g = common.to_direction(graph, outdeg_s, S, G)
+
+    dist0 = jnp.full(v_pad, jnp.inf, jnp.float32).at[source_sorted_g].set(0.0)
+    changed0 = jnp.zeros(v_pad, bool).at[source_sorted_g].set(True)
+
+    tiers = []
+    ic, ec_ = id_cap, edge_cap
+    while len(tiers) < 3:
+        tiers.append((max(ic, 8), max(ec_, 64)))
+        ic //= 8
+        ec_ //= 8
+    tiers = tiers[::-1]
+
+    def make_push(ic, ecap):
+        def push_branch(args):
+            dist_g, changed_g = args
+            dist_s = common.to_direction(graph, dist_g, G, S)
+            changed_s = common.to_direction(graph, changed_g, G, S)
+            fr = Frontier(mask=changed_s,
+                          size=jnp.sum(changed_s, dtype=jnp.int32),
+                          neighbours_count=jnp.int32(0), direction=S)
+            ids, valid = compact_ids(fr, ic)
+            out_s = advance_push_sparse(
+                graph, ids, valid, ecap, {"d": dist_s},
+                lambda s, d, w: s["d"] + w, "min", dist_s,
+                edge_values=w_out, direction=S)
+            out_g = common.to_direction(graph, out_s, S, G)
+            return out_g, out_g < dist_g
+        return push_branch
+
+    def dense_branch(args):
+        dist_g, changed_g = args
+        cand = advance_pull_value(graph, dist_g, "min", edge_values=w_in,
+                                  weight_op="add", src_active=changed_g,
+                                  direction=G)
+        out = jnp.minimum(dist_g, cand)
+        return out, out < dist_g
+
+    branches = [make_push(ic, ecap) for ic, ecap in tiers] + [dense_branch]
+
+    def cond(state):
+        dist, changed, size, nbrs, it = state
+        return size > 0
+
+    def body(state):
+        dist, changed, size, nbrs, it = state
+        idx = jnp.int32(len(tiers))
+        for i in range(len(tiers) - 1, -1, -1):
+            ic, ecap = tiers[i]
+            fits = (size < ic) & (nbrs < ecap)
+            idx = jnp.where(fits, jnp.int32(i), idx)
+        dist2, changed2 = jax.lax.switch(idx, branches, (dist, changed))
+        size2 = jnp.sum(changed2, dtype=jnp.int32)
+        nbrs2 = jnp.sum(jnp.where(changed2, outdeg_g, 0), dtype=jnp.int32)
+        return dist2, changed2, size2, nbrs2, it + 1
+
+    nbrs0 = jnp.take(outdeg_g, source_sorted_g)
+    dist, _, _, _, iters = jax.lax.while_loop(
+        cond, body, (dist0, changed0, jnp.int32(1), nbrs0, jnp.int32(0)))
+    return dist, iters
+
+
+@functools.partial(jax.jit, static_argnums=(4, 5))
+def _sssp_partial_device_run(graph, w_in, w_out, sid, id_cap, edge_cap):
+    return _sssp_partial_device(graph, w_in, w_out, sid, id_cap, edge_cap)
+
+
+def vgl_dijkstra_partial_device(graph: VGLGraph, weights: EdgeArray,
+                                source_vertex: int, id_cap: int = 1 << 12,
+                                edge_cap: int = 1 << 16
+                                ) -> tuple[VertexArray, int]:
+    """Work-efficient SSSP as ONE device program (one dispatch per run)."""
+    sid = jnp.take(graph.incoming.orig_to_sorted, source_vertex)
+    ec2 = min(common.next_pow2(max(graph.e, 8)), edge_cap)
+    dist, iters = _sssp_partial_device_run(
+        graph, weights.incoming, weights.outgoing, sid,
+        min(id_cap, graph.v_pad), ec2)
+    return VertexArray(values=dist, direction=G), int(iters)
+
+
 def seq_dijkstra(ec, source_vertex: int) -> np.ndarray:
     """Sequential oracle via SciPy Dijkstra; unreachable = +inf."""
     import scipy.sparse as sp
