@@ -49,13 +49,18 @@ def _shard_pull_original(g, x_o, combine, direction=G, edge_values=None,
     the partial-active restriction (reference partial variants relax only from
     recently-changed vertices, sssp/shortest_paths.hpp:135-141)."""
     d = direction
-    x_d = common.to_direction(g, x_o, O, d)
-    act_d = (None if src_active_o is None
-             else common.to_direction(g, src_active_o, O, d))
-    out = advance_pull_value(g, x_d, combine, edge_values=edge_values,
+    # route straight into the SOURCE side's ordering and tell the advance so
+    # (src_in_src_order): 2 vertex routes per pull instead of 3 — the advance
+    # would otherwise route d-ordered input to the source ordering internally
+    src_dir = S if d == G else G
+    x_s = common.to_direction(g, x_o, O, src_dir)
+    act_s = (None if src_active_o is None
+             else common.to_direction(g, src_active_o, O, src_dir))
+    out = advance_pull_value(g, x_s, combine, edge_values=edge_values,
                              weight_op=weight_op,
                              exclude_self_loops=exclude_self_loops,
-                             src_active=act_d, direction=d)
+                             src_active=act_s, direction=d,
+                             src_in_src_order=True)
     return common.to_direction(g, out, d, O)
 
 
