@@ -87,6 +87,7 @@ def _pack_route(prefix: str, plan, out: dict) -> None:
 
 
 def _unpack_route(prefix: str, z):
+    import jax
     meta = z[f"{prefix}.meta"].tolist()
     n, levels, kb, kq, has_flags = (meta if len(meta) == 5
                                     else meta + [0, 0, 0])
@@ -94,7 +95,14 @@ def _unpack_route(prefix: str, z):
            if f"{prefix}.mid_words" in z else None)
     big = (jnp.asarray(z[f"{prefix}.big_words"])
            if f"{prefix}.big_words" in z else None)
+    # graphs BUILT on a CPU host carry the stage-by-stage XLA-path arrays
+    # (in/out bitmasks + forward lane shuffle); a TPU loading a fused plan
+    # never reads them — dropping here is what lets the 2x2^28-slot scale-24
+    # shards fit one 16 GB chip (~2.2 GB/shard of dead mask data otherwise)
+    slim = mid is not None and jax.default_backend() in ("tpu", "axon")
     def opt(key):
+        if slim:
+            return None
         return jnp.asarray(z[key]) if key in z else None
     return RoutePlan(in_masks=opt(f"{prefix}.in_masks"),
                      out_masks=opt(f"{prefix}.out_masks"),

@@ -215,8 +215,14 @@ def _do_bfs_levels(graph: VGLGraph, source_sorted_g, id_cap: int,
 
     def body(state):
         levels, size, nbrs, cur, unexplored = state
-        td_ok = (nbrs.astype(jnp.float32)
-                 < unexplored.astype(jnp.float32) / alpha)
+        # Beamer's two-sided test: top-down while the frontier's out-edges are
+        # small vs the unexplored edges, AND back to top-down for the tail
+        # once the frontier shrinks below v/beta (without the second clause
+        # converged-tail levels with few unexplored edges fail the alpha test
+        # and pay full dense pulls for thousand-vertex frontiers)
+        td_ok = ((nbrs.astype(jnp.float32)
+                  < unexplored.astype(jnp.float32) / alpha)
+                 | (size.astype(jnp.float32) * beta < v))
         idx = jnp.int32(len(tiers))            # default: dense bottom-up
         for i in range(len(tiers) - 1, -1, -1):
             ic, ecap = tiers[i]

@@ -454,8 +454,9 @@ def make_bfs_do_sharded(sg: ShardedTileGraph, mesh, alpha: float = 15.0,
 
         def body(state):
             levels, size, nbrs, cur, unexplored = state
-            td_ok = ((nbrs.astype(jnp.float32)
-                      < unexplored.astype(jnp.float32) / alpha)
+            td_ok = (((nbrs.astype(jnp.float32)
+                       < unexplored.astype(jnp.float32) / alpha)
+                      | (size.astype(jnp.float32) * beta < v))
                      & (size < id_cap) & (nbrs < ecap))
             new_levels = jax.lax.cond(td_ok, td_branch, bu_branch,
                                       (levels, cur))

@@ -27,7 +27,10 @@ def build_parser(app: str = "vgl") -> argparse.ArgumentParser:
     p.add_argument("-rmat", dest="rmat", action="store_true", default=True)
     p.add_argument("-ru", "-random_uniform", dest="ru", action="store_true")
     p.add_argument("-format", dest="graph_format", default="vect_csr",
-                   help="el/csr/csr_vg/vect_csr, or 'auto' (autotuner pick). "
+                   help="el/csr/csr_vg/vect_csr, or 'auto' (autotuner pick; "
+                        "on TPU every measured sample favors vect_csr, so "
+                        "what the kNN model actually tunes is vect_csr's "
+                        "huge_degree_threshold — see utils/autotuner.py). "
                         "csr_vg builds tiles but NO Beneš route: on TPU its "
                         "advances take the element-gather path (~0.1 G/s) — "
                         "it is a CPU/debug format; use vect_csr on TPU")
