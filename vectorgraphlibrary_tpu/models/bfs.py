@@ -140,27 +140,31 @@ def vgl_bfs(graph: VGLGraph, source_vertex: int, alpha: float = 15.0,
     return VertexArray(values=out, direction=S)
 
 
-def _do_bfs_levels(graph: VGLGraph, source_sorted_g, id_cap: int,
+def _do_bfs_levels(graph: VGLGraph, source_sorted_s, id_cap: int,
                    edge_cap: int, alpha: float, beta: float):
     """Fully device-resident direction-optimizing BFS: the whole level loop is
     one lax.while_loop; each level picks top-down sparse push or bottom-up
     dense pull via a traced Beamer test (lax.cond compiles both branches, runs
     one) — zero host round-trips, the analog of the reference's hardwired
-    change_state machine (hardwired_do_bfs.hpp:925-990). State (levels) lives
-    in GATHER ordering; td steps route to/from SCATTER via the vertex route.
+    change_state machine (hardwired_do_bfs.hpp:925-990).
+
+    State (levels) lives in SCATTER ordering: top-down pushes then need ZERO
+    vertex routes (frontier, push, and update all happen in S), and the
+    bottom-up pull consumes the S-ordered frontier directly
+    (src_in_src_order — the pull's source side IS the outgoing container),
+    paying a single route only for its G-ordered output. Measured ~1.5 ms per
+    vertex route on v5e, so the old G-resident design paid ~3 ms/td-level.
 
     id_cap/edge_cap: static capacities for the sparse branch; levels whose
     frontier exceeds them take the dense branch (always safe)."""
     from ..graph.frontier import Frontier, compact_ids
     v, e, v_pad = graph.v, graph.e, graph.v_pad
-    outdeg_g = common.to_direction(graph, graph.outgoing.degrees,
-                                   TraversalDirection.SCATTER, G)
     outdeg_s = graph.outgoing.degrees
 
-    levels0 = jnp.full(v_pad, _INF32, jnp.int32).at[source_sorted_g].set(
+    levels0 = jnp.full(v_pad, _INF32, jnp.int32).at[source_sorted_s].set(
         FIRST_LEVEL)
     size0 = jnp.int32(1)
-    nbrs0 = jnp.take(outdeg_g, source_sorted_g)
+    nbrs0 = jnp.take(outdeg_s, source_sorted_s)
 
     # graduated sparse-push capacities: a STATIC-shaped push does its full
     # capacity of work regardless of the live frontier, so tail levels must
@@ -177,9 +181,7 @@ def _do_bfs_levels(graph: VGLGraph, source_sorted_g, id_cap: int,
 
     def make_td(ic, ecap):
         def td_branch(args):
-            levels_g, cur = args
-            levels_s = common.to_direction(graph, levels_g, G,
-                                           TraversalDirection.SCATTER)
+            levels_s, cur = args
             mask_s = levels_s == cur
             fr = Frontier(mask=mask_s, size=jnp.sum(mask_s, dtype=jnp.int32),
                           neighbours_count=jnp.int32(0),
@@ -191,21 +193,22 @@ def _do_bfs_levels(graph: VGLGraph, source_sorted_g, id_cap: int,
                 "min", levels_s, direction=TraversalDirection.SCATTER)
             newly_s = out_s < levels_s
             new_levels_s = jnp.where(newly_s, cur + 1, levels_s)
-            levels_g2 = common.to_direction(graph, new_levels_s,
-                                            TraversalDirection.SCATTER, G)
             size = jnp.sum(newly_s, dtype=jnp.int32)
             nbrs = jnp.sum(jnp.where(newly_s, outdeg_s, 0), dtype=jnp.int32)
-            return levels_g2, size, nbrs
+            return new_levels_s, size, nbrs
         return td_branch
 
     def bu_branch(args):
-        levels_g, cur = args
-        on = levels_g == cur
-        reached = advance_pull_value(graph, on, "or", direction=G)
-        newly = (levels_g == _INF32) & reached
+        levels_s, cur = args
+        on_s = levels_s == cur
+        reached_g = advance_pull_value(graph, on_s, "or", direction=G,
+                                       src_in_src_order=True)
+        reached_s = common.to_direction(graph, reached_g, G,
+                                        TraversalDirection.SCATTER)
+        newly = (levels_s == _INF32) & reached_s
         size = jnp.sum(newly, dtype=jnp.int32)
-        nbrs = jnp.sum(jnp.where(newly, outdeg_g, 0), dtype=jnp.int32)
-        return jnp.where(newly, cur + 1, levels_g), size, nbrs
+        nbrs = jnp.sum(jnp.where(newly, outdeg_s, 0), dtype=jnp.int32)
+        return jnp.where(newly, cur + 1, levels_s), size, nbrs
 
     branches = [make_td(ic, ecap) for ic, ecap in tiers] + [bu_branch]
 
@@ -239,13 +242,13 @@ def _do_bfs_levels(graph: VGLGraph, source_sorted_g, id_cap: int,
 
 
 @functools.partial(jax.jit, static_argnums=(2, 3, 4, 5))
-def _do_bfs_device_run(graph: VGLGraph, source_sorted_g, id_cap: int,
+def _do_bfs_device_run(graph: VGLGraph, source_sorted_s, id_cap: int,
                        edge_cap: int, alpha: float, beta: float):
-    return _do_bfs_levels(graph, source_sorted_g, id_cap, edge_cap, alpha, beta)
+    return _do_bfs_levels(graph, source_sorted_s, id_cap, edge_cap, alpha, beta)
 
 
 @functools.partial(jax.jit, static_argnums=(2, 3, 4, 5))
-def _do_bfs_device_multi(graph: VGLGraph, sources_sorted_g, id_cap: int,
+def _do_bfs_device_multi(graph: VGLGraph, sources_sorted_s, id_cap: int,
                          edge_cap: int, alpha: float, beta: float):
     """k full DO-BFS traversals sequentially in ONE device program — the
     graph500 multi-root protocol (64 random roots, one timed batch). On a
@@ -253,30 +256,30 @@ def _do_bfs_device_multi(graph: VGLGraph, sources_sorted_g, id_cap: int,
     (~28 ms measured) across the batch instead of paying it per traversal."""
     return jax.lax.map(
         lambda s: _do_bfs_levels(graph, s, id_cap, edge_cap, alpha, beta),
-        sources_sorted_g)
+        sources_sorted_s)
 
 
 def vgl_bfs_device_multi(graph: VGLGraph, source_vertices, alpha: float = 15.0,
                          beta: float = 18.0, id_cap: int = 1 << 12,
                          edge_cap: int = 1 << 16) -> VertexArray:
-    """Batched-root device DO-BFS: levels [k, v_pad] in GATHER ordering."""
-    srcs = jnp.take(graph.incoming.orig_to_sorted,
+    """Batched-root device DO-BFS: levels [k, v_pad] in SCATTER ordering."""
+    srcs = jnp.take(graph.outgoing.orig_to_sorted,
                     jnp.asarray(source_vertices, jnp.int32))
     ec2 = min(common.next_pow2(max(graph.e, 8)), edge_cap)
     levels = _do_bfs_device_multi(graph, srcs, min(id_cap, graph.v_pad), ec2,
                                   alpha, beta)
-    return VertexArray(values=levels, direction=G)
+    return VertexArray(values=levels, direction=S)
 
 
 def vgl_bfs_device(graph: VGLGraph, source_vertex: int, alpha: float = 15.0,
                    beta: float = 18.0, id_cap: int = 1 << 12,
                    edge_cap: int = 1 << 16) -> VertexArray:
     """Direction-optimizing BFS as ONE device program (one dispatch per run)."""
-    sid = jnp.take(graph.incoming.orig_to_sorted, source_vertex)
+    sid = jnp.take(graph.outgoing.orig_to_sorted, source_vertex)
     ec2 = min(common.next_pow2(max(graph.e, 8)), edge_cap)
     levels = _do_bfs_device_run(graph, sid, min(id_cap, graph.v_pad), ec2,
                                 alpha, beta)
-    return VertexArray(values=levels, direction=G)
+    return VertexArray(values=levels, direction=S)
 
 
 def seq_top_down(ec, source_vertex: int) -> np.ndarray:

@@ -226,7 +226,11 @@ def make_cc_sharded(sg: ShardedTileGraph, mesh, max_iterations: int = 1000):
 
         def it_fn(state):
             labels, _, it = state
-            new = jump(jump(hook(labels)))
+            # jumps = element gathers (slow on TPU): every 4th iteration only;
+            # hook-only fixpoint is already correct CC (models/cc.py note)
+            new = hook(labels)
+            new = jax.lax.cond(it % 4 == 3, lambda l: jump(jump(l)),
+                               lambda l: l, new)
             new = jnp.where(real, new, jnp.int32(v))
             return new, labels, it + 1
 
@@ -674,7 +678,9 @@ def cc_sharded_scan(sg: ShardedTileGraph, max_iterations: int = 1000):
 
     def it_fn(state):
         labels, _, it = state
-        new = jump(jump(hook(labels)))
+        new = hook(labels)
+        new = jax.lax.cond(it % 4 == 3, lambda l: jump(jump(l)),
+                           lambda l: l, new)
         new = jnp.where(real, new, jnp.int32(v))
         return new, labels, it + 1
 
