@@ -45,6 +45,8 @@ import jax.numpy as jnp
 import numpy as np
 
 _INTERPRET = bool(int(os.environ.get("VGL_PALLAS_INTERPRET", "0")))
+# min contiguous rows per big-kernel block (see _one_big)
+_C_MIN = int(os.environ.get("VGL_ROUTE_CMIN", "8"))
 
 # max rows per mid-kernel block: 2^10 rows × 128 lanes × 4 B = 512 KB/array
 # (the kernel holds x + words + out blocks PLUS per-stage roll/select
@@ -290,16 +292,20 @@ def _one_big(x2: jax.Array, words: jax.Array, kq1: int, kq2: int, which: str,
     r = x2.shape[0]
     q1, q2 = 1 << kq1, 1 << kq2
     b = r // (q1 * q2)
+    # contiguous extent per block: c*128*4 B chunks between q-strides. The
+    # floor (_C_MIN) trades VMEM (3 arrays x q*c*128*4 B resident) against
+    # HBM efficiency of the strided reads; 8 measured ~equal to 32 on v5e
+    # (VGL_ROUTE_CMIN to re-tune on other parts).
     if which == "inner":
         shape = (q2, q1, b, 128)
-        c = min(max(8, 2048 // q1), b)
+        c = min(max(_C_MIN, 2048 // q1), b)
         block = (1, q1, c, 128)
         grid = (q2, b // c)
         index = lambda i, j: (i, 0, j, 0)
         axis = 1
     else:
         shape = (q2, q1 * b, 128)
-        c = min(max(8, 2048 // q2), q1 * b)
+        c = min(max(_C_MIN, 2048 // q2), q1 * b)
         block = (q2, c, 128)
         grid = ((q1 * b) // c,)
         index = lambda i: (0, i, 0)
