@@ -224,11 +224,14 @@ def main():
 
     graph = import_graph(ec)
 
-    # coloring on the same import (Jones-Plassmann windowed bitmask)
-    from vectorgraphlibrary_tpu.models import coloring as col
-    dt = _bench(lambda: col.vgl_coloring(graph)[0].values)
-    emit(f"coloring_rmat{scale}_mteps", ec.edges_count / dt / 1e6, "MTEPS",
-         scale=scale, avg_degree=degree)
+    # coloring at this scale triggered a TPU-worker kernel fault on the axon
+    # tunnel (2026-08-21); opt-in until the faulting kernel is isolated so a
+    # driver bench run can never die on it
+    if os.environ.get("VGL_BENCH_COLORING"):
+        from vectorgraphlibrary_tpu.models import coloring as col
+        dt = _bench(lambda: col.vgl_coloring(graph)[0].values)
+        emit(f"coloring_rmat{scale}_mteps", ec.edges_count / dt / 1e6,
+             "MTEPS", scale=scale, avg_degree=degree)
 
     dt = _bench(lambda: pr.vgl_page_rank(graph, max_iterations=iters,
                                          use_convergence=False)[0].values)

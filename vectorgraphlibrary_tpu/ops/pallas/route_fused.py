@@ -281,6 +281,9 @@ def _mid_call(x2: jax.Array, words: jax.Array, lane_inv, kb: int,
         in_specs=[spec() for _ in ins],
         out_specs=spec(),
         out_shape=jax.ShapeDtypeStruct(x2.shape, x2.dtype),
+        # x2 is always a route intermediate: write the output in place
+        # (one less HBM buffer + block in flight)
+        input_output_aliases={0: 0},
         interpret=_INTERPRET,
     )(*ins)
 
@@ -294,8 +297,9 @@ def _one_big(x2: jax.Array, words: jax.Array, kq1: int, kq2: int, which: str,
     b = r // (q1 * q2)
     # contiguous extent per block: c*128*4 B chunks between q-strides. The
     # floor (_C_MIN) trades VMEM (3 arrays x q*c*128*4 B resident) against
-    # HBM efficiency of the strided reads; 8 measured ~equal to 32 on v5e
-    # (VGL_ROUTE_CMIN to re-tune on other parts).
+    # HBM efficiency of the strided reads; 16+ exceeds the 16 MB scoped-VMEM
+    # budget at q1=256 (compile-time OOM), so 8 stands
+    # (VGL_ROUTE_CMIN to re-tune on parts with more VMEM).
     if which == "inner":
         shape = (q2, q1, b, 128)
         c = min(max(_C_MIN, 2048 // q1), b)
@@ -320,6 +324,7 @@ def _one_big(x2: jax.Array, words: jax.Array, kq1: int, kq2: int, which: str,
         in_specs=[spec() for _ in ins],
         out_specs=spec(),
         out_shape=jax.ShapeDtypeStruct(shape, x2.dtype),
+        input_output_aliases={0: 0},       # see _mid_call
         interpret=_INTERPRET,
     )(*ins)
     return out.reshape(r, 128)

@@ -76,10 +76,14 @@ def profile_graph_primitives(graph: VGLGraph, weights=None,
     v_pad, e = graph.v_pad, graph.e
     x = jnp.arange(v_pad, dtype=jnp.float32) / v_pad
 
+    # NOTE: every jit below takes `graph` as an ARGUMENT — closing over it
+    # embeds the full graph as HLO constants, which the axon remote-compile
+    # endpoint rejects (HTTP 413) for scale-20+ graphs.
+
     # --- reorder (VerticesArray ordering change) ---
     if graph.vertex_route_s_from_g is not None and routed_backend():
-        vr = jax.jit(lambda a: apply_route(graph.vertex_route_s_from_g, a))
-        dt = _timeit(vr, x, reps=reps)
+        vr = jax.jit(lambda g, a: apply_route(g.vertex_route_s_from_g, a))
+        dt = _timeit(vr, graph, x, reps=reps)
         vbytes = (7 if graph.vertex_route_s_from_g.mid_words is not None
                   else 2 * graph.vertex_route_s_from_g.levels) * v_pad * 4
         stats.update("reorder (vertex route)", dt, vbytes, v_pad)
@@ -89,23 +93,22 @@ def profile_graph_primitives(graph: VGLGraph, weights=None,
              and plan.mid_words is not None)
 
     # --- advance: pull over incoming, unweighted add (PR/HITS shape) ---
-    adv = jax.jit(lambda a: advance_pull_value(graph, a, "add", direction=G))
-    dt = _timeit(adv, x, reps=reps)
+    adv = jax.jit(lambda g, a: advance_pull_value(g, a, "add", direction=G))
+    dt = _timeit(adv, graph, x, reps=reps)
     n = plan.n if plan is not None else graph.e
     abytes = (10 * n + 2 * v_pad) * 4 if fused else 3 * n * 4
     stats.update("advance (pull add)", dt, abytes, e)
 
     # --- advance: pull min (CC/SSSP shape, weighted when available) ---
     if weights is not None and weights.incoming.slot_flat is not None:
-        advw = jax.jit(lambda a: advance_pull_value(
-            graph, a, "min", edge_values=weights.incoming, weight_op="add",
-            direction=G))
-        dt = _timeit(advw, x, reps=reps)
+        advw = jax.jit(lambda g, w, a: advance_pull_value(
+            g, a, "min", edge_values=w, weight_op="add", direction=G))
+        dt = _timeit(advw, graph, weights.incoming, x, reps=reps)
         stats.update("advance (pull min+w)", dt, abytes + n * 4, e)
     else:
-        advm = jax.jit(lambda a: advance_pull_value(graph, a, "min",
-                                                    direction=G))
-        dt = _timeit(advm, x, reps=reps)
+        advm = jax.jit(lambda g, a: advance_pull_value(g, a, "min",
+                                                       direction=G))
+        dt = _timeit(advm, graph, x, reps=reps)
         stats.update("advance (pull min)", dt, abytes, e)
 
     # --- advance: sparse push from a small frontier (BFS top-down shape) ---
@@ -114,10 +117,10 @@ def profile_graph_primitives(graph: VGLGraph, weights=None,
     ids = jnp.arange(cap, dtype=jnp.int32)
     valid = ids < min(cap, graph.v)
     out0 = jnp.full(v_pad, jnp.inf, jnp.float32)
-    push = jax.jit(lambda i, va, o: advance_push_sparse(
-        graph, i, va, ecap, {"d": x},
+    push = jax.jit(lambda g, xv, i, va, o: advance_push_sparse(
+        g, i, va, ecap, {"d": xv},
         lambda s, d, w: s["d"], "min", o, direction=S))
-    dt = _timeit(push, ids, valid, out0, reps=reps)
+    dt = _timeit(push, graph, x, ids, valid, out0, reps=reps)
     stats.update("advance (push sparse)", dt, 6 * ecap * 4, ecap)
 
     # --- generate_new_frontier (classify + compact) ---
