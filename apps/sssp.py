@@ -15,7 +15,13 @@ def run_round(ec, graph, weights, source, cfg):
         # direction, so the flag is a documented alias (see -push help).
         dist, _ = sssp.vgl_dijkstra_all_active(graph, weights, source)
     else:
-        dist, _ = sssp.vgl_dijkstra_partial_active(graph, weights, source)
+        import jax
+        if jax.default_backend() in ("tpu", "axon"):
+            # one-dispatch device-resident work frontier: the host-loop
+            # variant pays the ~28 ms tunnel round-trip per iteration
+            dist, _ = sssp.vgl_dijkstra_partial_device(graph, weights, source)
+        else:
+            dist, _ = sssp.vgl_dijkstra_partial_active(graph, weights, source)
     return dist
 
 
