@@ -145,7 +145,8 @@ def vgl_dijkstra_partial_active(graph: VGLGraph, weights: EdgeArray,
 
 
 def _sssp_partial_device(graph: VGLGraph, w_in, w_out, source_sorted_g,
-                         id_cap: int, edge_cap: int):
+                         id_cap: int, edge_cap: int,
+                         max_iterations: int = 10_000):
     """Device-resident partial-active Bellman-Ford: the whole relaxation loop
     is ONE lax.while_loop; each iteration a traced test picks compacted sparse
     push (small changed set, tiered static capacities) or dense pull
@@ -199,7 +200,10 @@ def _sssp_partial_device(graph: VGLGraph, w_in, w_out, source_sorted_g,
 
     def cond(state):
         dist, changed, size, nbrs, it = state
-        return size > 0
+        # iteration cap mirrors vgl_dijkstra_partial_active / the sharded
+        # variant: a non-terminating input (negative-weight cycle) must not
+        # hang inside one un-interruptible device dispatch
+        return (it < max_iterations) & (size > 0)
 
     def body(state):
         dist, changed, size, nbrs, it = state

@@ -572,7 +572,7 @@ def advance_pull_value(graph: VGLGraph,
         # memory-bound loads/stores shrink) — measured 2.0x on v5e
         src_vec = src_vec.astype(jnp.int8 if _BOOL_I8 else jnp.int32)
         if mon.name == "or":
-            mon = M.get("max")          # or over {0,1} == max
+            mon = M.get("any01")        # or over {0,1} == max, identity 0
     dtype = out_dtype or (jnp.result_type(src_vec.dtype, weights.dtype)
                           if weights is not None else src_vec.dtype)
     src_vec = src_vec.astype(dtype)
@@ -663,7 +663,7 @@ def advance_cells(graph: VGLGraph,
 def _mask_value(mon, dtype):
     """Value that makes a source's messages act as the combine identity."""
     d = jnp.dtype(dtype)
-    if mon.name == "add" or mon.name == "or":
+    if mon.name in ("add", "or", "any01"):
         return 0
     if mon.name == "min":
         return jnp.inf if jnp.issubdtype(d, jnp.floating) else jnp.iinfo(d).max

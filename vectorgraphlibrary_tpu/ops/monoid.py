@@ -34,7 +34,7 @@ class Monoid:
                 return jnp.array(False)
             return (jnp.array(jnp.iinfo(d).min, d) if jnp.issubdtype(d, jnp.integer)
                     else jnp.array(-jnp.inf, d))
-        if self.name == "or":
+        if self.name in ("or", "any01"):
             return jnp.zeros((), d)
         raise ValueError(self.name)
 
@@ -44,8 +44,17 @@ class Monoid:
             return at.add(vals, mode=mode)
         if self.name == "min":
             return at.min(vals, mode=mode)
-        if self.name in ("max", "or"):
+        if self.name in ("max", "any01"):
             return at.max(vals, mode=mode)
+        if self.name == "or":
+            if target.dtype == bool or vals.dtype == bool:
+                return at.max(vals, mode=mode)
+            # int bitmask OR-scatter: jnp has no at[].or_; decompose as an
+            # exact two-halves trick is wrong under collisions, so scatter
+            # per-bit would be needed — forbid instead of corrupting
+            raise NotImplementedError(
+                "int bitwise-or scatter: use a pull/segment formulation "
+                "(at[].max only equals OR for {0,1} values)")
         raise ValueError(self.name)
 
 
@@ -86,7 +95,13 @@ def _or_segment(data, seg_ids, num_segments, indices_are_sorted=False):
 # logical-or over bool (BFS reachability) / bitwise-or over ints (coloring bitmasks)
 OR = Monoid("or", _or_combine, _or_reduce, _or_segment)
 
-MONOIDS = {"add": ADD, "min": MIN, "max": MAX, "or": OR}
+# max over values KNOWN to be in {0,1} (identity 0): the int8 bool-pull
+# reduction (advance_pull_value's is_bool path). A distinct monoid — not a
+# dtype-sniffed shortcut — so group_reduce_flat's sum>0 matmul trick can never
+# silently fire on a general int8 max (ADVICE r3).
+ANY01 = Monoid("any01", jnp.maximum, jnp.max, jax.ops.segment_max)
+
+MONOIDS = {"add": ADD, "min": MIN, "max": MAX, "or": OR, "any01": ANY01}
 
 
 def get(name_or_monoid) -> Monoid:

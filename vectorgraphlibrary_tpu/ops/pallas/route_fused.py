@@ -281,8 +281,11 @@ def _mid_call(x2: jax.Array, words: jax.Array, lane_inv, kb: int,
         in_specs=[spec() for _ in ins],
         out_specs=spec(),
         out_shape=jax.ShapeDtypeStruct(x2.shape, x2.dtype),
-        # x2 is always a route intermediate: write the output in place
-        # (one less HBM buffer + block in flight)
+        # donate x2 into the output when it is a route intermediate; when the
+        # caller's array is still live (e.g. the route's first kernel on an
+        # input that escapes, like BFS's levels_s), XLA copy-insertion adds a
+        # copy to honor the alias — an opportunistic saving, not a guaranteed
+        # in-place write
         input_output_aliases={0: 0},
         interpret=_INTERPRET,
     )(*ins)
@@ -324,7 +327,7 @@ def _one_big(x2: jax.Array, words: jax.Array, kq1: int, kq2: int, which: str,
         in_specs=[spec() for _ in ins],
         out_specs=spec(),
         out_shape=jax.ShapeDtypeStruct(shape, x2.dtype),
-        input_output_aliases={0: 0},       # see _mid_call
+        input_output_aliases={0: 0},       # opportunistic donate — see _mid_call
         interpret=_INTERPRET,
     )(*ins)
     return out.reshape(r, 128)

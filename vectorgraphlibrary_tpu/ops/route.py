@@ -176,6 +176,12 @@ def apply_route(plan: RoutePlan, x: jax.Array, inverse: bool = False
         from .pallas import route_fused
         if jax.default_backend() in ("tpu", "axon") or route_fused._INTERPRET:
             return route_fused.apply_route_fused(plan, x, inverse=inverse)
+    if plan.in_masks is None:
+        raise RuntimeError(
+            "route plan has no stage-by-stage masks (slim plan: a graph "
+            "loaded in a TPU process drops them, graph/persistence.py); the "
+            "XLA route path cannot run it — re-load the graph in a CPU "
+            "process or run on the TPU backend")
     k = plan.n.bit_length() - 1
     if not inverse:
         for lev in range(plan.levels):

@@ -44,9 +44,10 @@ def group_reduce_flat(msg2d: jax.Array, width: int, mon, rows: int) -> jax.Array
                       preferred_element_type=jnp.float32,
                   precision=jax.lax.Precision.HIGHEST)
         return red.reshape(-1)[:rows].astype(msg2d.dtype)
-    if mon.name == "max" and msg2d.dtype.itemsize == 1:
-        # int8 bool-pull reduction (values in {0,1}, identity 0 — the only
-        # producer is advance_pull_value's is_bool path): max == any == sum>0
+    if mon.name == "any01":
+        # values contractually in {0,1} with identity 0 (the explicit any01
+        # monoid, set only by advance_pull_value's bool-pull path):
+        # max == any == sum>0 — one MXU matmul instead of a lane reduce
         red = jnp.dot(msg2d.astype(jnp.float32), _group_matrix(width),
                       preferred_element_type=jnp.float32,
                       precision=jax.lax.Precision.HIGHEST)

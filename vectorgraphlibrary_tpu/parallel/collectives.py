@@ -73,6 +73,23 @@ def _compact_delta(x, prev, capacity: int):
     return idx, val, count
 
 
+def delta_capacity_policy(n: int, n_devices: int,
+                          requested: int | None = None) -> int:
+    """Clamp a merge_changed_sparse capacity so the sparse branch can never
+    move more bytes than the dense fallback it is supposed to beat.
+
+    Bytes per device: sparse ≈ 8·D·cap in (all_gather of int32 idx + 4-byte
+    val from every device) + 8·cap out; dense ring allreduce ≈ 8·n (4-byte
+    payload in+out). Equal-bytes crossover: cap* = n/D. The policy keeps 4×
+    headroom (scatter-merge cost and all_gather latency grow with D):
+    cap = min(requested or n/64, n/(4·D)), floor 64. Validated by
+    tests/test_sharded2.py::test_delta_capacity_policy at D=8."""
+    cross = max(64, n // (4 * max(n_devices, 1)))
+    if requested is None:
+        requested = max(256, n // 64)
+    return max(64, min(requested, cross))
+
+
 def merge_changed_sparse(x, prev, merge_op: str, capacity: int,
                          axis: str = EDGE_AXIS):
     """EXCHANGE_RECENTLY_CHANGED, compacted form: each device copy_if-compacts

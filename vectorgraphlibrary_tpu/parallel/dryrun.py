@@ -48,19 +48,30 @@ def run_dryrun(n_devices: int) -> None:
                                          edge_cap=1 << 12)
     lv = do_bfs(sg.stacked, jnp.int32(0))
     assert int(jnp.sum(lv > 0)) >= 1
-    # distributed GraphSAGE train step (BASELINE config 5)
-    import optax
-    from ..models import gnn
-    rng = np.random.default_rng(0)
-    fdim, classes = 4, 3
-    feats = jnp.asarray(rng.normal(size=(sg.v_pad, fdim)).astype(np.float32))
-    labels = jnp.asarray(rng.integers(0, classes, sg.v_pad).astype(np.int32))
-    tmask = jnp.asarray(rng.random(sg.v_pad) < 0.5)
-    params = gnn.init_sage(jax.random.key(0), fdim, 8, classes)
-    opt = optax.adam(1e-2)
-    gstep = sharded.make_sage_train_step_sharded(sg, flat_mesh, opt)
-    params, _, loss = gstep(params, opt.init(params), feats, labels, tmask)
-    assert bool(jnp.isfinite(loss))
+    # distributed GraphSAGE train step (BASELINE config 5); optional — the
+    # traversal dryrun must not fail on installations without optax
+    try:
+        import optax
+        _HAVE_OPTAX = True
+    except ImportError:
+        print("dryrun: optax not installed — skipping GraphSAGE step")
+        _HAVE_OPTAX = False
+    loss = jnp.float32(0.0)
+    if _HAVE_OPTAX:
+        from ..models import gnn
+        rng = np.random.default_rng(0)
+        fdim, classes = 4, 3
+        feats = jnp.asarray(rng.normal(size=(sg.v_pad, fdim)).astype(
+            np.float32))
+        labels = jnp.asarray(rng.integers(0, classes, sg.v_pad).astype(
+            np.int32))
+        tmask = jnp.asarray(rng.random(sg.v_pad) < 0.5)
+        params = gnn.init_sage(jax.random.key(0), fdim, 8, classes)
+        opt = optax.adam(1e-2)
+        gstep = sharded.make_sage_train_step_sharded(sg, flat_mesh, opt)
+        params, _, loss = gstep(params, opt.init(params), feats, labels,
+                                tmask)
+        assert bool(jnp.isfinite(loss))
     jax.block_until_ready((ranks, levels, dist, dist_p, lv, loss))
 
     # ---- the 2-D (edge x vertex) COO fallback path ----

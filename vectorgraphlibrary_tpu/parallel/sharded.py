@@ -366,8 +366,8 @@ def make_sssp_sharded_partial(sg: ShardedTileGraph, mesh, weights_stacked,
     from . import collectives as C
     v, v_pad = sg.v, sg.v_pad
     real = jnp.arange(v_pad) < v
-    if delta_capacity is None:
-        delta_capacity = max(256, v_pad // 64)
+    delta_capacity = C.delta_capacity_policy(v_pad, mesh.size,
+                                             requested=delta_capacity)
 
     def body_fn(gstack, wstack, source):
         g = take_shard(gstack)
