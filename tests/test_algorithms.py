@@ -122,6 +122,37 @@ def test_bfs_device_multi_matches_single(setup):
         np.testing.assert_array_equal(multi[i], single)
 
 
+def test_msbfs_matches_oracle_per_root(setup):
+    """Bit-parallel multi-source BFS: every root's level array must equal the
+    sequential oracle's — including duplicate roots sharing a word and a k
+    that is not a multiple of the 32-bit word width."""
+    ec, g, ea = setup
+    roots = [common.select_random_source(ec, seed=s) for s in (1, 2, 3, 5, 8)]
+    roots.append(roots[0])                       # duplicate root, same word
+    got = np.asarray(bfs.vgl_msbfs(g, roots).values)
+    assert got.shape[0] == len(roots)
+    for i, src in enumerate(roots):
+        want = bfs.seq_top_down(ec, src)
+        row = vgl.as_original_numpy(
+            bfs.VertexArray(values=got[i], direction=bfs.S), g)
+        assert verify.verify_results(row, want) == 0, f"root {src}"
+
+
+def test_msbfs_many_roots_two_words(setup):
+    """k=33 forces two word groups through the lax.map path."""
+    ec, g, ea = setup
+    rng = np.random.default_rng(0)
+    roots = [common.select_random_source(ec, seed=int(s))
+             for s in rng.integers(0, 1000, 33)]
+    got = np.asarray(bfs.vgl_msbfs(g, roots).values)
+    assert got.shape[0] == 33
+    for i in (0, 16, 31, 32):                    # spot-check across both words
+        want = bfs.seq_top_down(ec, roots[i])
+        row = vgl.as_original_numpy(
+            bfs.VertexArray(values=got[i], direction=bfs.S), g)
+        assert verify.verify_results(row, want) == 0
+
+
 def test_sssp_partial_equals_all_active(setup_ru):
     ec, g, ea = setup_ru
     src = common.select_random_source(ec, seed=7)

@@ -282,6 +282,76 @@ def vgl_bfs_device(graph: VGLGraph, source_vertex: int, alpha: float = 15.0,
     return VertexArray(values=levels, direction=S)
 
 
+def _msbfs_word(graph: VGLGraph, roots_sorted_s, max_levels: int):
+    """Bit-parallel multi-source BFS over ONE int32 word: up to 32 roots'
+    frontiers ride one word per vertex through a single bitwise-or pull per
+    level (the or-monoid advance, ops/monoid.py OR). The TPU-native answer to
+    the multi-root benchmark protocol: one dense pull serves 32 traversals,
+    so the route's fixed memory cost is amortized 32x (MS-BFS, Then et al.
+    VLDB'15 — same recurrence, here as a word-packed routed advance; the
+    reference runs its roots strictly sequentially, bfs.hpp:5-86).
+
+    roots_sorted_s: int32 [32] SCATTER-ordered root ids (pad slots = v_pad).
+    Returns levels int16 [32, v_pad] in SCATTER ordering (UNVISITED = -1,
+    root level = 1). State lives in SCATTER ordering like _do_bfs_levels: the
+    pull consumes it directly (src_in_src_order) and only the pull output
+    pays a vertex route per level."""
+    v_pad = graph.v_pad
+    bits = jnp.int32(1) << jnp.arange(32, dtype=jnp.int32)
+    # duplicate roots carry distinct bits, so scatter-ADD == scatter-OR here
+    seed = jnp.zeros(v_pad, jnp.int32).at[roots_sorted_s].add(
+        bits, mode="drop")
+    lev0 = jnp.where(
+        (seed[None, :] >> jnp.arange(32, dtype=jnp.int32)[:, None]) & 1 == 1,
+        jnp.int16(FIRST_LEVEL), jnp.int16(UNVISITED))
+
+    def cond(state):
+        seen, frontier, levels, cur, alive = state
+        return alive & (cur < max_levels)
+
+    def body(state):
+        seen, frontier, levels, cur, _ = state
+        reached_g = advance_pull_value(graph, frontier, "or", direction=G,
+                                       src_in_src_order=True)
+        reached_s = common.to_direction(graph, reached_g, G, S)
+        newly = reached_s & ~seen
+        bit = (newly[None, :] >> jnp.arange(32, dtype=jnp.int32)[:, None]) & 1
+        levels2 = jnp.where(bit == 1, (cur + 1).astype(jnp.int16), levels)
+        return (seen | newly, newly, levels2, cur + 1,
+                jnp.any(newly != 0))
+
+    _, _, levels, _, _ = jax.lax.while_loop(
+        cond, body, (seed, seed, lev0, jnp.int32(FIRST_LEVEL),
+                     jnp.any(seed != 0)))
+    return levels
+
+
+@functools.partial(jax.jit, static_argnums=(2,))
+def _msbfs_run(graph: VGLGraph, roots_words, max_levels: int):
+    """roots_words int32 [w, 32] -> levels int16 [w, 32, v_pad]."""
+    return jax.lax.map(lambda r: _msbfs_word(graph, r, max_levels),
+                       roots_words)
+
+
+def vgl_msbfs(graph: VGLGraph, source_vertices,
+              max_levels: int = 32767) -> VertexArray:
+    """Multi-source BFS: levels [k, v_pad] (SCATTER ordering) for k roots,
+    32 roots per bit-parallel word, word groups run sequentially inside one
+    device program. Semantically identical to k vgl_bfs runs."""
+    srcs = np.asarray(source_vertices, np.int64)
+    k = len(srcs)
+    w = (k + 31) // 32
+    padded = np.full(w * 32, 0, np.int64)
+    padded[:k] = srcs
+    sid = jnp.take(graph.outgoing.orig_to_sorted,
+                   jnp.asarray(padded, jnp.int32)).reshape(w, 32)
+    # pad roots (beyond k) still traverse (harmless duplicates of root 0);
+    # their level rows are sliced away below
+    levels = _msbfs_run(graph, sid, int(min(max_levels, 32766)))
+    out = levels.reshape(w * 32, graph.v_pad)[:k].astype(jnp.int32)
+    return VertexArray(values=out, direction=S)
+
+
 def seq_top_down(ec, source_vertex: int) -> np.ndarray:
     """Sequential oracle: BFS levels, source=1, unvisited=-1 (reference seq_bfs)."""
     import scipy.sparse as sp
