@@ -81,7 +81,7 @@ def main():
     iters = 10
     from vectorgraphlibrary_tpu.parallel.sharded import (
         _pr_scan_run, _pad_v, hits_sharded_scan, bfs_sharded_scan,
-        cc_sharded_scan)
+        cc_hybrid_sharded_scan, msbfs_sharded_scan, sssp_sharded_scan_hash)
     revd = jnp.asarray(_pad_v(rev, sg.v_pad))
     dmaskd = jnp.asarray(_pad_v(dmask, sg.v_pad, fill=False))
 
@@ -105,7 +105,7 @@ def main():
     emit(f"hits_rmat{SCALE}_mteps", e * hits_iters * 2 / dt / 1e6, "MTEPS",
          iters=hits_iters)
 
-    log("BFS compile+warmup ...")
+    log("BFS (single root, level-synchronous pull) compile+warmup ...")
     sync(bfs_sharded_scan(sg, jnp.int32(1)).astype(jnp.int32))
     t0 = time.perf_counter()
     lv = bfs_sharded_scan(sg, jnp.int32(2))
@@ -113,14 +113,57 @@ def main():
     dt = time.perf_counter() - t0
     emit(f"bfs_rmat{SCALE}_gteps", e / dt / 1e9, "GTEPS", reached=reached)
 
-    log("CC compile+warmup ...")
-    sync(cc_sharded_scan(sg, 64).astype(jnp.int32))
+    # out-degrees in ORIGINAL space for graph500-style traversed-edge counts
+    # (rev excludes self-loops, matching the TEPS convention)
+    outdeg_o = jnp.asarray(_pad_v(
+        np.where(rev > 0, 1.0 / np.maximum(rev, 1e-12), 0.0).astype(
+            np.float32), sg.v_pad))
+
+    log("MS-BFS (32 roots, bit-parallel words) compile+warmup ...")
+    rng = np.random.default_rng(24)
+    roots = jnp.asarray(rng.integers(0, sg.v, 32).astype(np.int32))
+    sync(msbfs_sharded_scan(sg, roots).astype(jnp.int32))
     t0 = time.perf_counter()
-    labels = cc_sharded_scan(sg, 64)
+    lv32 = msbfs_sharded_scan(sg, roots)
+    visited = (lv32 > 0).astype(jnp.float32)
+    edges_traversed = float(jnp.sum(visited @ outdeg_o))
+    dt = time.perf_counter() - t0
+    emit(f"bfs_do_rmat{SCALE}_gteps", edges_traversed / dt / 1e9, "GTEPS",
+         roots=32, protocol="bit-parallel multi-source (MS-BFS), one or-pull "
+         "scan per level serves all 32 roots",
+         edges_traversed=int(edges_traversed))
+
+    log("SSSP partial-active (slot-hash weights) compile+warmup ...")
+    sync(sssp_sharded_scan_hash(sg, jnp.int32(1))[0])
+    t0 = time.perf_counter()
+    dist, sssp_iters = sssp_sharded_scan_hash(sg, jnp.int32(2))
+    finite = int(jnp.sum(jnp.isfinite(dist[:sg.v])))
+    dt = time.perf_counter() - t0
+    si = int(sssp_iters)
+    emit(f"sssp_partial_rmat{SCALE}_mteps", e / dt / 1e6, "MTEPS",
+         iters=si, reached=finite,
+         weights="deterministic per-slot hash U[0.01,1) — slim shards "
+         "persist no edge values (parallel/sharded.slot_hash_weight_fn)")
+    emit(f"sssp_partial_rmat{SCALE}_periter_mteps", e * si / dt / 1e6,
+         "MTEPS", iters=si)
+
+    log("CC (flood-hybrid) compile+warmup ...")
+    hub = int(np.argmax(np.where(rev > 0, 1.0 / np.maximum(rev, 1e-12), 0.0)))
+    sync(cc_hybrid_sharded_scan(sg, jnp.int32(hub))[0].astype(jnp.int32))
+    t0 = time.perf_counter()
+    labels, flood_lv, hook_it = cc_hybrid_sharded_scan(sg, jnp.int32(hub))
     ncomp = int(jnp.unique(labels[:sg.v]).shape[0])
     dt = time.perf_counter() - t0
+    fl, hi = int(flood_lv), int(hook_it)
     emit(f"cc_sv_rmat{SCALE}_mteps", e / dt / 1e6, "MTEPS",
-         components=ncomp)
+         components=ncomp, flood_levels=fl, hook_iters=hi,
+         protocol="flood-hybrid: bool or-pull flood of the hub component + "
+         "hook-min for the tail (cc/bfs_based.hpp analog)")
+    sweeps = 2 * (fl + hi)            # every level/hook = 2 full-graph pulls
+    emit(f"cc_periter_rmat{SCALE}_mteps", e * sweeps / dt / 1e6,
+         "MTEPS", sweeps=sweeps,
+         note="aggregate edge-processing rate across all full-graph pulls — "
+         "separates kernel rate from convergence count (VERDICT r3 #2)")
 
     log("done")
     return 0

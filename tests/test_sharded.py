@@ -157,9 +157,73 @@ def test_slim_bfs_scan_matches_oracle(slim_setup):
 
 def test_slim_cc_scan_matches_oracle(slim_setup):
     ec, sg = slim_setup
-    got = np.asarray(sharded.cc_sharded_scan(sg))[:sg.v]
+    labels, iters = sharded.cc_sharded_scan(sg)
+    got = np.asarray(labels)[:sg.v]
     want = ccm.seq_cc(ec)
     assert verify.equal_components(got, want) == 0
+    assert int(iters) >= 2
+
+
+def test_slim_msbfs_scan_matches_oracle(slim_setup):
+    """Bit-parallel MS-BFS on slim shards: every packed root's levels equal
+    the sequential oracle (the scale-24 bfs_do protocol)."""
+    ec, sg = slim_setup
+    rng = np.random.default_rng(9)
+    roots_np = np.array([common.select_random_source(ec, seed=int(s))
+                         for s in rng.integers(0, 1000, 32)], np.int32)
+    lv = np.asarray(sharded.msbfs_sharded_scan(sg, jnp.asarray(roots_np)))
+    assert lv.shape == (32, sg.v_pad)
+    for r in (0, 7, 31):
+        want = bfsm.seq_top_down(ec, int(roots_np[r]))
+        np.testing.assert_array_equal(lv[r, :sg.v].astype(np.int32), want)
+
+
+def test_slim_cc_hybrid_scan_matches_oracle(slim_setup):
+    """Flood-hybrid CC equals the oracle partition for a good hub AND for a
+    deliberately bad hub (an arbitrary vertex — correctness must not depend
+    on the hub landing in the largest component)."""
+    ec, sg = slim_setup
+    want = ccm.seq_cc(ec)
+    outdeg = np.bincount(ec.src_ids, minlength=sg.v)
+    for hub in (int(np.argmax(outdeg)), 17):
+        labels, fl, hi = sharded.cc_hybrid_sharded_scan(sg, jnp.int32(hub))
+        got = np.asarray(labels)[:sg.v]
+        assert verify.equal_components(got, want) == 0, hub
+        assert int(fl) >= 1
+
+
+def test_slim_sssp_scan_hash_weights(slim_setup):
+    """SSSP over slim shards with on-device slot-hash weights: (a) partial ==
+    all-active, (b) equals the sequential oracle run on the SAME weights,
+    recovered on the host via the slot map."""
+    from vectorgraphlibrary_tpu.graph.route_build import slot_map
+    ec, sg = slim_setup
+    src = common.select_random_source(ec, seed=4)
+    dist_p, it_p = sharded.sssp_sharded_scan_hash(sg, jnp.int32(src))
+    dist_a, _ = sharded.sssp_sharded_scan_hash(sg, jnp.int32(src),
+                                               partial=False)
+    np.testing.assert_allclose(np.asarray(dist_p), np.asarray(dist_a),
+                               rtol=1e-6)
+    assert int(it_p) >= 2
+
+    # rebuild the exact per-edge weights the device hashed: re-import the
+    # same container non-slim to recover each shard's host CSR + slot map
+    hosts = []
+    sg_full = import_sharded(ec, sg.n_shards, _host_out=hosts,
+                             keep_edge_slots=True)
+    fn = sharded.slot_hash_weight_fn(sg.stacked.advance_route.n)
+    w_coo = np.zeros(ec.edges_count, np.float32)
+    shard_id = ec.dst_ids % sg.n_shards
+    for s in range(sg.n_shards):
+        wslots = np.asarray(fn(jnp.int32(s)).slot_flat)
+        h_out, h_in = hosts[s]
+        m, _ = slot_map(h_in)
+        w_coo[shard_id == s] = wslots[m]
+    import dataclasses as _dc
+    ec_w = _dc.replace(ec, weights=w_coo)
+    want = ssspm.seq_dijkstra(ec_w, src)
+    got = np.asarray(dist_p)[:sg.v]
+    assert verify.verify_results(got, want) == 0
 
 
 def test_sharded_persistence_roundtrip(tmp_path, slim_setup):

@@ -302,7 +302,7 @@ def _msbfs_word(graph: VGLGraph, roots_sorted_s, max_levels: int):
     seed = jnp.zeros(v_pad, jnp.int32).at[roots_sorted_s].add(
         bits, mode="drop")
     lev0 = jnp.where(
-        (seed[None, :] >> jnp.arange(32, dtype=jnp.int32)[:, None]) & 1 == 1,
+        ((seed[None, :] >> jnp.arange(32, dtype=jnp.int32)[:, None]) & 1) == 1,
         jnp.int16(FIRST_LEVEL), jnp.int16(UNVISITED))
 
     def cond(state):

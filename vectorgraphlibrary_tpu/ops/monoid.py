@@ -76,11 +76,14 @@ def _or_segment(data, seg_ids, num_segments, indices_are_sorted=False):
         return jax.ops.segment_max(data, seg_ids, num_segments,
                                    indices_are_sorted=indices_are_sorted)
     # int bitmask OR over sorted segments via shift-doubling segmented scan:
-    # after log2(n) steps every element holds the OR of its segment prefix; the
-    # running OR only sets bits, so it is integer-monotone and segment_max
-    # recovers the full segment OR. Leaner to compile than associative_scan.
+    # after log2(n) steps every element holds the OR of its segment prefix,
+    # and segment_max recovers the full segment OR. The max MUST run UNSIGNED:
+    # a signed max mis-orders values with bit 31 set, and — worse — empty
+    # segments take the signed identity int32_min = 0x8000_0000, spuriously
+    # setting bit 31 on every gap row (caught by the 32-root MS-BFS test).
+    # Unsigned, OR-accumulation is monotone and the empty identity is 0.
     n = data.shape[0]
-    x = data
+    x = data.astype(jnp.uint32) if data.dtype != jnp.uint32 else data
     s = 1
     while s < n:
         shifted = jnp.concatenate([jnp.zeros((s,), x.dtype), x[:-s]])
@@ -88,8 +91,9 @@ def _or_segment(data, seg_ids, num_segments, indices_are_sorted=False):
             jnp.zeros((s,), seg_ids.dtype) - 1, seg_ids[:-s]]) == seg_ids
         x = jnp.where(same, x | shifted, x)
         s *= 2
-    return jax.ops.segment_max(x, seg_ids, num_segments,
-                               indices_are_sorted=indices_are_sorted)
+    out = jax.ops.segment_max(x, seg_ids, num_segments,
+                              indices_are_sorted=indices_are_sorted)
+    return out.astype(data.dtype)
 
 
 # logical-or over bool (BFS reachability) / bitwise-or over ints (coloring bitmasks)

@@ -24,7 +24,9 @@ _MERGE = {
     "add": lambda x, ax: jax.lax.psum(x, ax),
     "min": lambda x, ax: jax.lax.pmin(x, ax),
     "max": lambda x, ax: jax.lax.pmax(x, ax),
-    "or": lambda x, ax: jax.lax.pmax(x.astype(jnp.int32), ax).astype(x.dtype),
+    # unsigned max == bitwise-or merge for replicated monotone frontiers; a
+    # SIGNED pmax would mis-order int words with bit 31 set (ops/monoid.py)
+    "or": lambda x, ax: jax.lax.pmax(x.astype(jnp.uint32), ax).astype(x.dtype),
 }
 
 
@@ -51,8 +53,9 @@ def merge_changed(x, prev, merge_op: str, axis: str = EDGE_AXIS):
     if merge_op == "or":
         # or-merge is idempotent and monotone: unchanged entries equal prev,
         # so the plain elementwise or of every device's view IS the
-        # changed-only merge (BFS-style distributed frontier merges hit this)
-        return prev | jax.lax.pmax(x.astype(jnp.int32), axis).astype(x.dtype)
+        # changed-only merge (BFS-style distributed frontier merges hit this);
+        # max runs UNSIGNED for the same bit-31 reason as _MERGE above
+        return prev | jax.lax.pmax(x.astype(jnp.uint32), axis).astype(x.dtype)
     raise ValueError(merge_op)
 
 

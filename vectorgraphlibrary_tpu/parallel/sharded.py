@@ -72,7 +72,9 @@ def _merge(x, combine):
     if combine == "max":
         return jax.lax.pmax(x, E)
     if combine == "or":
-        return jax.lax.pmax(x.astype(jnp.int32), E).astype(x.dtype)
+        # UNSIGNED max: signed pmax mis-orders int words with bit 31 set
+        # (see ops/monoid._or_segment)
+        return jax.lax.pmax(x.astype(jnp.uint32), E).astype(x.dtype)
     raise ValueError(combine)
 
 
@@ -553,27 +555,46 @@ def make_sage_train_step_sharded(sg: ShardedTileGraph, mesh, optimizer):
 
 def sharded_pull_scan(sg: ShardedTileGraph, x_o: jax.Array, combine,
                       direction=G, weights_stacked=None, weight_op=None,
-                      exclude_self_loops: bool = False) -> jax.Array:
+                      exclude_self_loops: bool = False,
+                      src_active_o=None, weight_fn=None) -> jax.Array:
     """Combine per-shard routed pulls sequentially on one chip: the out-of-HBM
-    path — peak working set is ONE shard's route, not the whole graph's."""
+    path — peak working set is ONE shard's route, not the whole graph's.
+    "or" supports bool (reachability) AND int words (bit-parallel MS-BFS
+    frontiers, coloring bitmasks): the identity/accumulator follow x_o's
+    dtype. src_active_o: optional bool [v_pad] ORIGINAL source restriction."""
     mon = M.get(combine)
-    ident = mon.identity(x_o.dtype if combine != "or" else jnp.bool_)
-    init = jnp.full((sg.v_pad,), ident,
-                    x_o.dtype if combine != "or" else jnp.bool_)
+    ident = mon.identity(x_o.dtype)
+    init = jnp.full((sg.v_pad,), ident, x_o.dtype)
 
-    if weights_stacked is None:
+    if weights_stacked is None and weight_fn is None:
         def body(acc, g):
             out = _shard_pull_original(g, x_o, combine, direction=direction,
-                                       exclude_self_loops=exclude_self_loops)
+                                       exclude_self_loops=exclude_self_loops,
+                                       src_active_o=src_active_o)
             return mon.combine(acc, out), None
         acc, _ = jax.lax.scan(body, init, sg.stacked)
+    elif weight_fn is not None:
+        # weights computed per shard inside the scan body (zero HBM residency
+        # — the slim scale-24 shards persist no edge values at all)
+        def body(acc, gi):
+            g, i = gi
+            out = _shard_pull_original(g, x_o, combine, direction=direction,
+                                       edge_values=weight_fn(i),
+                                       weight_op=weight_op,
+                                       exclude_self_loops=exclude_self_loops,
+                                       src_active_o=src_active_o)
+            return mon.combine(acc, out), None
+        acc, _ = jax.lax.scan(
+            body, init,
+            (sg.stacked, jnp.arange(sg.n_shards, dtype=jnp.int32)))
     else:
         def body(acc, gw):
             g, w = gw
             out = _shard_pull_original(g, x_o, combine, direction=direction,
                                        edge_values=w.incoming,
                                        weight_op=weight_op,
-                                       exclude_self_loops=exclude_self_loops)
+                                       exclude_self_loops=exclude_self_loops,
+                                       src_active_o=src_active_o)
             return mon.combine(acc, out), None
         acc, _ = jax.lax.scan(body, init, (sg.stacked, weights_stacked))
     return acc
@@ -655,7 +676,9 @@ def bfs_sharded_scan(sg: ShardedTileGraph, source, max_levels: int = 10_000):
 
 @functools.partial(jax.jit, static_argnums=(1,))
 def cc_sharded_scan(sg: ShardedTileGraph, max_iterations: int = 1000):
-    """Single-chip Shiloach-Vishkin over sequential shards; -> labels [v_pad]."""
+    """Single-chip Shiloach-Vishkin over sequential shards;
+    -> (labels [v_pad] ORIGINAL, iterations run) — the iteration count feeds
+    the per-iteration MTEPS bench row (VERDICT r3 #2)."""
     v, v_pad = sg.v, sg.v_pad
     real = jnp.arange(v_pad) < v
     ids = jnp.arange(v_pad, dtype=jnp.int32)
@@ -684,6 +707,197 @@ def cc_sharded_scan(sg: ShardedTileGraph, max_iterations: int = 1000):
         new = jnp.where(real, new, jnp.int32(v))
         return new, labels, it + 1
 
-    labels, _, _ = jax.lax.while_loop(
+    labels, _, iters = jax.lax.while_loop(
         cond, it_fn, (labels0, jnp.full_like(labels0, -1), jnp.int32(0)))
-    return labels
+    return labels, iters
+
+
+@functools.partial(jax.jit, static_argnums=(2,))
+def msbfs_sharded_scan(sg: ShardedTileGraph, roots, max_levels: int = 32766):
+    """Bit-parallel multi-source BFS over sequential shards (single chip,
+    out-of-HBM): 32 roots ride one int32 word per vertex through a single
+    bitwise-or pull scan per level — the scan-path twin of
+    models/bfs.vgl_msbfs. roots: int32 [32] ORIGINAL ids (duplicates fine).
+    Returns levels int16 [32, v_pad] in ORIGINAL ordering (source level 1,
+    unvisited -1)."""
+    v, v_pad = sg.v, sg.v_pad
+    real = jnp.arange(v_pad) < v
+    bits = jnp.int32(1) << jnp.arange(32, dtype=jnp.int32)
+    seed = jnp.zeros(v_pad, jnp.int32).at[roots].add(bits, mode="drop")
+    seed = jnp.where(real, seed, 0)
+    lev0 = jnp.where(
+        ((seed[None, :] >> jnp.arange(32, dtype=jnp.int32)[:, None]) & 1) == 1,
+        jnp.int16(1), jnp.int16(-1))
+
+    def cond(state):
+        seen, frontier, levels, cur, alive = state
+        return alive & (cur < max_levels)
+
+    def body(state):
+        seen, frontier, levels, cur, _ = state
+        reached = sharded_pull_scan(sg, frontier, "or", direction=G)
+        reached = jnp.where(real, reached, 0)
+        newly = reached & ~seen
+        bit = (newly[None, :] >> jnp.arange(32, dtype=jnp.int32)[:, None]) & 1
+        levels2 = jnp.where(bit == 1, (cur + 1).astype(jnp.int16), levels)
+        return (seen | newly, newly, levels2, cur + 1, jnp.any(newly != 0))
+
+    _, _, levels, _, _ = jax.lax.while_loop(
+        cond, body, (seed, seed, lev0, jnp.int32(1), jnp.any(seed != 0)))
+    return levels
+
+
+@functools.partial(jax.jit, static_argnums=(2, 3))
+def cc_hybrid_sharded_scan(sg: ShardedTileGraph, hub,
+                           max_flood_levels: int = 1000,
+                           max_iterations: int = 1000):
+    """Single-chip CC, flood-hybrid (VERDICT r3 #2; the reference's own
+    BFS-based CC `algorithms/cc/bfs_based.hpp` is the same idea):
+
+    Phase A floods the hub's WEAK component with bool or-pulls over both
+    containers (int8 route payloads — the cheapest pull this machine has) and
+    freezes it at one label. Phase B runs hook-min iterations for the
+    remaining (small, shallow) components only. Why this wins at scale: pure
+    hook-min must propagate the giant component's minimum id across its full
+    eccentricity (~tens of 300+ms iterations at scale-24, each 2 full
+    min-pull scans); the flood covers the same distance in bool pulls that
+    cost a fraction of that, and the tail components converge in a handful of
+    hooks because they are tiny. No label can leak INTO the frozen component:
+    any outside vertex adjacent to it would have been flooded (weak
+    reachability is direction-closed over both pulls).
+
+    hub: ORIGINAL id of a vertex in (very likely) the largest component —
+    callers pass the max-out-degree vertex. Correct for ANY hub; a poor
+    choice only costs performance.  -> (labels [v_pad] ORIGINAL, flood
+    levels, hook iterations)."""
+    v, v_pad = sg.v, sg.v_pad
+    ids = jnp.arange(v_pad, dtype=jnp.int32)
+    real = ids < v
+
+    # --- phase A: weak-reachability flood from hub ---
+    reach0 = (ids == hub)
+
+    def fcond(state):
+        reach, frontier, lv = state
+        return jnp.any(frontier) & (lv < max_flood_levels)
+
+    def fbody(state):
+        reach, frontier, lv = state
+        via_in = sharded_pull_scan(sg, frontier, "or", direction=G)
+        via_out = sharded_pull_scan(sg, frontier, "or", direction=S)
+        newly = (via_in | via_out) & ~reach & real
+        return reach | newly, newly, lv + 1
+
+    reach, _, flood_levels = jax.lax.while_loop(
+        fcond, fbody, (reach0, reach0, jnp.int32(0)))
+
+    # --- phase B: hook-min for the unflooded remainder ---
+    BIGI = jnp.int32(jnp.iinfo(jnp.int32).max)
+    hub_label = hub.astype(jnp.int32)
+    labels0 = jnp.where(reach, hub_label, ids)
+    labels0 = jnp.where(real, labels0, jnp.int32(v))
+
+    def hcond(state):
+        labels, prev, it = state
+        return (it < max_iterations) & jnp.any(labels != prev)
+
+    def hbody(state):
+        labels, _, it = state
+        m_in = sharded_pull_scan(sg, labels, "min", direction=G)
+        m_out = sharded_pull_scan(sg, labels, "min", direction=S)
+        m = jnp.minimum(jnp.where(real, m_in, BIGI),
+                        jnp.where(real, m_out, BIGI))
+        new = jnp.minimum(labels, m)
+        new = jax.lax.cond(
+            it % 4 == 3,
+            lambda l: jnp.take(l, jnp.minimum(
+                jnp.take(l, jnp.minimum(l, v_pad - 1), mode="clip"),
+                v_pad - 1), mode="clip"),
+            lambda l: l, new)
+        # the flooded component is already labeled: freeze it (its vertices
+        # otherwise re-derive the component minimum over many iterations)
+        new = jnp.where(reach, hub_label, new)
+        new = jnp.where(real, new, jnp.int32(v))
+        return new, labels, it + 1
+
+    labels, _, hook_iters = jax.lax.while_loop(
+        hcond, hbody, (labels0, jnp.full_like(labels0, -1), jnp.int32(0)))
+    return labels, flood_levels, hook_iters
+
+
+def _sssp_scan_impl(sg, weights_stacked, weight_fn, source, partial,
+                    max_iterations):
+    v, v_pad = sg.v, sg.v_pad
+    real = jnp.arange(v_pad) < v
+    dist0 = jnp.where(jnp.arange(v_pad) == source, 0.0, jnp.inf)
+    dist0 = jnp.where(real, dist0, jnp.inf).astype(jnp.float32)
+    changed0 = jnp.arange(v_pad) == source
+
+    def cond(state):
+        dist, changed, it = state
+        return (it < max_iterations) & jnp.any(changed)
+
+    def body(state):
+        dist, changed, it = state
+        cand = sharded_pull_scan(sg, dist, "min", direction=G,
+                                 weights_stacked=weights_stacked,
+                                 weight_op="add", weight_fn=weight_fn,
+                                 src_active_o=changed if partial else None)
+        new = jnp.minimum(dist, jnp.where(real, cand, jnp.inf))
+        return new, new < dist, it + 1
+
+    dist, _, iters = jax.lax.while_loop(cond, body,
+                                        (dist0, changed0, jnp.int32(0)))
+    return dist, iters
+
+
+@functools.partial(jax.jit, static_argnums=(3, 4))
+def sssp_sharded_scan(sg: ShardedTileGraph, weights_stacked, source,
+                      partial: bool = True, max_iterations: int = 10_000):
+    """Single-chip Bellman-Ford over sequential shards — the scan-path twin
+    of make_sssp_sharded_partial (work-efficient scale-24 traversal, VERDICT
+    r3 #6). partial=True relaxes only edges out of recently-changed sources
+    (src_active masking — sssp/shortest_paths.hpp:135-141 semantics);
+    partial=False is the all-active sweep. -> (dist [v_pad] ORIGINAL,
+    iterations run)."""
+    return _sssp_scan_impl(sg, weights_stacked, None, source, partial,
+                           max_iterations)
+
+
+@functools.lru_cache(maxsize=None)
+def slot_hash_weight_fn(n: int, lo: float = 0.01, hi: float = 1.0):
+    """Deterministic per-route-slot weights computed ON DEVICE: each INCOMING
+    route slot is a distinct edge, so w = hash(slot, shard) is a well-defined
+    per-edge weight assignment requiring ZERO stored edge values — the slim
+    scale-24 shards persist none (graph/persistence.py slim path). Only
+    incoming-direction (GATHER) pulls may consume these weights: the outgoing
+    slot copy of the same edge would hash differently. The integer mix is
+    Ellard's lowbias32; weights are uniform in [lo, hi). lru-cached so the
+    returned closure is a stable jit static argument."""
+    from ..graph.edges import DirectedEdgeValues
+
+    def fn(shard_idx):
+        x = (jnp.arange(n, dtype=jnp.uint32)
+             + (shard_idx.astype(jnp.uint32) + jnp.uint32(1))
+             * jnp.uint32(0x9E3779B9))
+        x = x ^ (x >> 16)
+        x = x * jnp.uint32(0x7FEB352D)
+        x = x ^ (x >> 15)
+        x = x * jnp.uint32(0x846CA68B)
+        x = x ^ (x >> 16)
+        u = (x >> jnp.uint32(8)).astype(jnp.float32) / jnp.float32(1 << 24)
+        w = jnp.float32(lo) + jnp.float32(hi - lo) * u
+        return DirectedEdgeValues(flat=w[:0], bucket_tiles=(),
+                                  huge_tile=None, slot_flat=w)
+    return fn
+
+
+@functools.partial(jax.jit, static_argnums=(2, 3, 4, 5))
+def sssp_sharded_scan_hash(sg: ShardedTileGraph, source,
+                           partial: bool = True,
+                           max_iterations: int = 10_000,
+                           lo: float = 0.01, hi: float = 1.0):
+    """SSSP over slim (value-pull-only) shards using slot-hash weights —
+    see slot_hash_weight_fn. -> (dist [v_pad] ORIGINAL, iterations)."""
+    fn = slot_hash_weight_fn(sg.stacked.advance_route.n, lo, hi)
+    return _sssp_scan_impl(sg, None, fn, source, partial, max_iterations)
