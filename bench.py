@@ -92,11 +92,32 @@ def main():
     ea20 = build_edge_array_from_host(ec20.weights, g20, host[0], host[1])
     del host
 
-    # DO-BFS: graph500-style multi-root batch — k full traversals run
-    # sequentially inside ONE device program (bfs.vgl_bfs_device_multi), so
-    # the ~28 ms tunnel dispatch amortizes across roots instead of being
-    # counted once per traversal; warmup uses DIFFERENT roots (identical
-    # repeated dispatches can be coalesced by the tunnel)
+    # BFS flagship: bit-parallel multi-source BFS — 64 roots, 32 per int32
+    # word, ONE or-pull per level serves every root in a word
+    # (models/bfs.vgl_msbfs; MS-BFS, Then et al. VLDB'15). TEPS counts
+    # graph500-style traversed edges (sum of out-degrees over visited
+    # vertices, per root). Warmup uses DIFFERENT roots (identical repeated
+    # dispatches can be coalesced by the tunnel).
+    k_ms = 64
+    warm = [common.select_random_source(ec20, seed=s) for s in range(k_ms)]
+    _sync(bfs.vgl_msbfs(g20, warm).values)
+    roots_ms = [common.select_random_source(ec20, seed=500 + s)
+                for s in range(k_ms)]
+    t0 = time.perf_counter()
+    lv_ms = bfs.vgl_msbfs(g20, roots_ms).values
+    _sync(lv_ms)
+    dt = time.perf_counter() - t0
+    outdeg_f = g20.outgoing.degrees.astype(jnp.float32)
+    edges_tr = float(jnp.sum((lv_ms > 0).astype(jnp.float32) @ outdeg_f))
+    emit(f"bfs_do_rmat{s20}_gteps", edges_tr / dt / 1e9, "GTEPS",
+         scale=s20, avg_degree=d20, roots=k_ms,
+         protocol="bit-parallel multi-source (MS-BFS): 32 roots/int32 word, "
+         "one or-pull per level serves all roots in a word",
+         edges_traversed=int(edges_tr))
+    del lv_ms
+
+    # secondary row: the same multi-root batch run as k SEQUENTIAL
+    # direction-optimizing traversals in one device program (the r3 protocol)
     k_roots = 8
     warm = [common.select_random_source(ec20, seed=s) for s in range(k_roots)]
     _sync(bfs.vgl_bfs_device_multi(g20, warm).values)
@@ -105,8 +126,9 @@ def main():
     t0 = time.perf_counter()
     _sync(bfs.vgl_bfs_device_multi(g20, roots).values)
     dt = (time.perf_counter() - t0) / k_roots
-    emit(f"bfs_do_rmat{s20}_gteps", ec20.edges_count / dt / 1e9, "GTEPS",
-         scale=s20, avg_degree=d20, roots=k_roots)
+    emit(f"bfs_do_seq_rmat{s20}_gteps", ec20.edges_count / dt / 1e9, "GTEPS",
+         scale=s20, avg_degree=d20, roots=k_roots,
+         protocol="sequential per-root DO-BFS state machine")
     sources = roots
 
     sssp.vgl_dijkstra_all_active(g20, ea20, sources[1])      # warmup/compile
@@ -130,9 +152,15 @@ def main():
     emit(f"sssp_partial_rmat{s20}_mteps", ec20.edges_count / dt / 1e6,
          "MTEPS", scale=s20, avg_degree=d20, iters=it_p)
 
+    _, cc_iters = cc.vgl_shiloach_vishkin(g20)          # warmup + iter count
     dt = _bench(lambda: cc.vgl_shiloach_vishkin(g20)[0].values)
     emit(f"cc_sv_rmat{s20}_mteps", ec20.edges_count / dt / 1e6, "MTEPS",
-         scale=s20, avg_degree=d20)
+         scale=s20, avg_degree=d20, iters=cc_iters)
+    # per-iteration rate: every iteration is 2 full min-pull sweeps
+    emit(f"cc_sv_rmat{s20}_periter_mteps",
+         ec20.edges_count * 2 * cc_iters / dt / 1e6, "MTEPS",
+         scale=s20, avg_degree=d20, sweeps=2 * cc_iters,
+         note="aggregate rate across all full-graph pulls (VERDICT r3 #2)")
 
     hits_iters = 20
     dt = _bench(lambda: hits.vgl_hits(g20, iterations=hits_iters)[0].values)
@@ -172,13 +200,45 @@ def main():
         hostr = []
         gr = import_graph(ecr, _host_out=hostr)
         ear = build_edge_array_from_host(ecr.weights, gr, hostr[0], hostr[1])
-        src = common.select_random_source(ecr, seed=1)
-        dt = _bench(lambda: sssp.vgl_dijkstra_all_active(gr, ear, src)[0]
-                    .values)
-        emit(f"sssp_{name}_mteps", ecr.edges_count / dt / 1e6, "MTEPS")
-        dt = _bench(lambda: cc.vgl_shiloach_vishkin(gr)[0].values)
-        emit(f"cc_{name}_mteps", ecr.edges_count / dt / 1e6, "MTEPS")
-        del gr, ear
+        # small-graph batch protocols: k independent runs in ONE device
+        # program, so the ~28 ms tunnel dispatch amortizes and the row
+        # reflects kernels (VERDICT r3 #7); per-run rate reported
+        k_src = 32
+        srcs_w = [common.select_random_source(ecr, seed=s) for s in range(k_src)]
+        srcs_m = [common.select_random_source(ecr, seed=200 + s)
+                  for s in range(k_src)]
+        _sync(sssp.vgl_dijkstra_multi(gr, ear, srcs_w).values)
+        t0 = time.perf_counter()
+        _sync(sssp.vgl_dijkstra_multi(gr, ear, srcs_m).values)
+        dt = (time.perf_counter() - t0) / k_src
+        emit(f"sssp_{name}_mteps", ecr.edges_count / dt / 1e6, "MTEPS",
+             sources=k_src, protocol="k partial-active runs in one dispatch")
+
+        rngh = np.random.default_rng(3)
+        hubs_w = rngh.integers(0, ecr.vertices_count, 8).tolist()
+        hubs_m = rngh.integers(0, ecr.vertices_count, 8).tolist()
+        _sync(cc.vgl_cc_hybrid_multi(gr, hubs_w).values)
+        t0 = time.perf_counter()
+        _sync(cc.vgl_cc_hybrid_multi(gr, hubs_m).values)
+        dt = (time.perf_counter() - t0) / 8
+        emit(f"cc_{name}_mteps", ecr.edges_count / dt / 1e6, "MTEPS",
+             runs=8, protocol="flood-hybrid CC, 8 distinct hubs in one "
+             "dispatch")
+
+        k_bfs = 64
+        rw = [common.select_random_source(ecr, seed=s) for s in range(k_bfs)]
+        rm = [common.select_random_source(ecr, seed=300 + s)
+              for s in range(k_bfs)]
+        _sync(bfs.vgl_msbfs(gr, rw).values)
+        t0 = time.perf_counter()
+        lvr = bfs.vgl_msbfs(gr, rm).values
+        _sync(lvr)
+        dt = time.perf_counter() - t0
+        outdeg_r = gr.outgoing.degrees.astype(jnp.float32)
+        etr = float(jnp.sum((lvr > 0).astype(jnp.float32) @ outdeg_r))
+        emit(f"bfs_{name}_mteps", etr / dt / 1e6, "MTEPS", roots=k_bfs,
+             protocol="bit-parallel multi-source", edges_traversed=int(etr))
+        del gr, ear, lvr
     else:
         print(json.dumps({"note": "no cached real graph (zero-egress); "
                           "drop a KONECT file under .graphs/ to enable"}),
@@ -213,14 +273,18 @@ def main():
                          weighted=False)
 
     # device triangle count (BASELINE SDDMM-style config): column-blocked
-    # bitmap AND+popcount; wall includes the host orientation pass, matching
-    # the reference's whole-algorithm measurement
+    # bitmap AND+popcount; host orientation/dedupe pass timed separately
+    # (VERDICT r3 weak #4 asked the artifact to split them)
     from vectorgraphlibrary_tpu.models import tc
     t0 = time.perf_counter()
-    tris = tc.vgl_triangle_count(ec)
-    dt = time.perf_counter() - t0
-    emit(f"tc_rmat{scale}_mteps", ec.edges_count / dt / 1e6, "MTEPS",
-         scale=scale, avg_degree=degree, triangles=tris)
+    u_e, v_e = tc._oriented_simple_edges(ec)
+    host_s = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    tris = tc.vgl_triangle_count(ec, _oriented=(u_e, v_e))
+    dev_s = time.perf_counter() - t0
+    emit(f"tc_rmat{scale}_mteps", ec.edges_count / (host_s + dev_s) / 1e6,
+         "MTEPS", scale=scale, avg_degree=degree, triangles=tris,
+         host_orientation_s=round(host_s, 2), device_s=round(dev_s, 2))
 
     graph = import_graph(ec)
 

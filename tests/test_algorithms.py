@@ -153,6 +153,36 @@ def test_msbfs_many_roots_two_words(setup):
         assert verify.verify_results(row, want) == 0
 
 
+def test_sssp_multi_matches_single(setup_ru):
+    """Batched multi-source partial SSSP (one dispatch) == per-source runs."""
+    from vectorgraphlibrary_tpu.models import sssp as ssspm
+    ec, g, ea = setup_ru
+    srcs = [common.select_random_source(ec, seed=s) for s in (1, 4, 9)]
+    multi = np.asarray(ssspm.vgl_dijkstra_multi(g, ea, srcs).values)
+    for i, s in enumerate(srcs):
+        single, _ = ssspm.vgl_dijkstra_partial_device(g, ea, s)
+        np.testing.assert_allclose(multi[i], np.asarray(single.values),
+                                   rtol=1e-6)
+
+
+def test_cc_hybrid_matches_oracle(setup):
+    """Single-chip flood-hybrid CC: oracle partition for the default hub, a
+    bad hub, and the multi-hub batch."""
+    from vectorgraphlibrary_tpu.models import cc as ccm
+    ec, g, ea = setup
+    want = ccm.seq_cc(ec)
+    got, iters = ccm.vgl_cc_hybrid(g)
+    assert verify.equal_components(
+        vgl.as_original_numpy(got, g), want) == 0
+    got_bad, _ = ccm.vgl_cc_hybrid(g, hub=3)
+    assert verify.equal_components(
+        vgl.as_original_numpy(got_bad, g), want) == 0
+    multi = ccm.vgl_cc_hybrid_multi(g, [0, 5, 11])
+    for i in range(3):
+        row = np.asarray(multi.values[i])[:g.v]
+        assert verify.equal_components(row, want) == 0, i
+
+
 def test_sssp_partial_equals_all_active(setup_ru):
     ec, g, ea = setup_ru
     src = common.select_random_source(ec, seed=7)

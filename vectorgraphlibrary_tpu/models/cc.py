@@ -76,6 +76,110 @@ def vgl_shiloach_vishkin(graph: VGLGraph, max_iterations: int = 1000
     return VertexArray(values=labels, direction=O), int(iters)
 
 
+def _cc_hybrid_run(graph: VGLGraph, hub, max_flood: int, max_iterations: int):
+    """Flood-hybrid CC (single-chip twin of parallel/sharded.
+    cc_hybrid_sharded_scan; the reference's own BFS-based CC
+    `algorithms/cc/bfs_based.hpp` is the same idea): bool or-pulls flood the
+    hub's weak component (the cheapest pull on this machine — int8 route
+    payloads), freeze it at one label, then hook-min only the remaining
+    small components. Correct for ANY hub (a bad hub only costs speed)."""
+    v, v_pad = graph.v, graph.v_pad
+    ids = jnp.arange(v_pad, dtype=jnp.int32)
+    real = ids < v
+
+    def und_or(reach_o):
+        r_g = common.to_direction(graph, reach_o, O, G)
+        via_in = advance_pull_value(graph, r_g, "or", direction=G)
+        via_in_o = common.to_direction(graph, via_in, G, O)
+        r_s = common.to_direction(graph, reach_o, O, S)
+        via_out = advance_pull_value(graph, r_s, "or", direction=S)
+        via_out_o = common.to_direction(graph, via_out, S, O)
+        return via_in_o | via_out_o
+
+    reach0 = ids == hub
+
+    def fcond(state):
+        reach, frontier, lv = state
+        return jnp.any(frontier) & (lv < max_flood)
+
+    def fbody(state):
+        reach, frontier, lv = state
+        newly = und_or(frontier) & ~reach & real
+        return reach | newly, newly, lv + 1
+
+    reach, _, flood_lv = jax.lax.while_loop(
+        fcond, fbody, (reach0, reach0, jnp.int32(0)))
+
+    BIGI = jnp.int32(jnp.iinfo(jnp.int32).max)
+    hub_label = hub.astype(jnp.int32)
+    labels0 = jnp.where(reach, hub_label, ids)
+    labels0 = jnp.where(real, labels0, jnp.int32(v))
+
+    def hook(labels):
+        lab_g = common.to_direction(graph, labels, O, G)
+        m_in = advance_pull_value(graph, lab_g, "min", direction=G)
+        m_in_o = common.to_direction(graph, m_in, G, O)
+        lab_s = common.to_direction(graph, labels, O, S)
+        m_out = advance_pull_value(graph, lab_s, "min", direction=S)
+        m_out_o = common.to_direction(graph, m_out, S, O)
+        return jnp.minimum(labels, jnp.minimum(
+            jnp.where(real, m_in_o, BIGI), jnp.where(real, m_out_o, BIGI)))
+
+    def hcond(state):
+        labels, prev, it = state
+        return (it < max_iterations) & jnp.any(labels != prev)
+
+    def hbody(state):
+        labels, _, it = state
+        new = hook(labels)
+        new = jax.lax.cond(
+            it % 4 == 3,
+            lambda l: jnp.take(l, jnp.minimum(
+                jnp.take(l, jnp.minimum(l, v_pad - 1), mode="clip"),
+                v_pad - 1), mode="clip"),
+            lambda l: l, new)
+        new = jnp.where(reach, hub_label, new)     # frozen hub component
+        new = jnp.where(real, new, jnp.int32(v))
+        return new, labels, it + 1
+
+    labels, _, iters = jax.lax.while_loop(
+        hcond, hbody, (labels0, jnp.full_like(labels0, -1), jnp.int32(0)))
+    return labels, flood_lv, iters
+
+
+@functools.partial(jax.jit, static_argnums=(2, 3))
+def _cc_hybrid_jit(graph: VGLGraph, hub, max_flood: int, max_iterations: int):
+    return _cc_hybrid_run(graph, hub, max_flood, max_iterations)
+
+
+def vgl_cc_hybrid(graph: VGLGraph, hub: Optional[int] = None,
+                  max_flood: int = 1000, max_iterations: int = 1000
+                  ) -> tuple[VertexArray, int]:
+    """Flood-hybrid CC; hub defaults to the max-out-degree vertex."""
+    if hub is None:
+        outdeg_o = common.to_direction(graph, graph.outgoing.degrees, S, O)
+        hub = int(jnp.argmax(outdeg_o[:graph.v]))
+    labels, _, iters = _cc_hybrid_jit(graph, jnp.int32(hub), max_flood,
+                                      max_iterations)
+    return VertexArray(values=labels, direction=O), int(iters)
+
+
+@functools.partial(jax.jit, static_argnums=(2, 3))
+def _cc_hybrid_multi(graph: VGLGraph, hubs, max_flood: int,
+                     max_iterations: int):
+    """k flood-hybrid CC runs (distinct hubs -> genuinely distinct device
+    programs, no CSE) in ONE dispatch — the small-graph batch timing
+    protocol (bfs.vgl_bfs_device_multi analog)."""
+    return jax.lax.map(
+        lambda h: _cc_hybrid_run(graph, h, max_flood, max_iterations)[0],
+        hubs)
+
+
+def vgl_cc_hybrid_multi(graph: VGLGraph, hubs) -> VertexArray:
+    labels = _cc_hybrid_multi(graph, jnp.asarray(hubs, jnp.int32), 1000, 1000)
+    return VertexArray(values=labels, direction=O)
+
+
 def vgl_bfs_based(graph: VGLGraph, max_components: int = 1_000_000
                   ) -> VertexArray:
     """BFS-based CC (reference cc/bfs_based.hpp): repeatedly BFS-flood the first

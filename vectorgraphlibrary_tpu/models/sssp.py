@@ -241,6 +241,29 @@ def vgl_dijkstra_partial_device(graph: VGLGraph, weights: EdgeArray,
     return VertexArray(values=dist, direction=G), int(iters)
 
 
+@functools.partial(jax.jit, static_argnums=(4, 5))
+def _sssp_partial_multi(graph, w_in, w_out, sids, id_cap: int, edge_cap: int):
+    return jax.lax.map(
+        lambda s: _sssp_partial_device(graph, w_in, w_out, s, id_cap,
+                                       edge_cap)[0], sids)
+
+
+def vgl_dijkstra_multi(graph: VGLGraph, weights: EdgeArray, source_vertices,
+                       id_cap: int = 1 << 12, edge_cap: int = 1 << 16
+                       ) -> VertexArray:
+    """k independent partial-active SSSP runs in ONE device program — the
+    multi-root batch protocol (mirrors bfs.vgl_bfs_device_multi): on a
+    tunneled TPU the ~28 ms per-dispatch round-trip amortizes across the
+    batch, so small-graph benchmarks measure kernels, not dispatch.
+    Returns dist [k, v_pad] in GATHER ordering."""
+    sids = jnp.take(graph.incoming.orig_to_sorted,
+                    jnp.asarray(source_vertices, jnp.int32))
+    ec2 = min(common.next_pow2(max(graph.e, 8)), edge_cap)
+    dist = _sssp_partial_multi(graph, weights.incoming, weights.outgoing,
+                               sids, min(id_cap, graph.v_pad), ec2)
+    return VertexArray(values=dist, direction=G)
+
+
 def seq_dijkstra(ec, source_vertex: int) -> np.ndarray:
     """Sequential oracle via SciPy Dijkstra; unreachable = +inf."""
     import scipy.sparse as sp

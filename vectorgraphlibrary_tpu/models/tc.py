@@ -143,7 +143,7 @@ def _tc_build_bits(u_blk: jax.Array, v_local: jax.Array, v_rows: int,
 
 
 def vgl_triangle_count(ec: EdgesContainer, block_bits: Optional[int] = None,
-                       edge_chunk: int = 1 << 13) -> int:
+                       edge_chunk: int = 1 << 13, _oriented=None) -> int:
     """DEVICE triangle count (BASELINE.json SDDMM-style config): for each
     degree-oriented edge (u,v), |N+(u) ∩ N+(v)| via column-blocked dense
     bitmaps — per block, N+ rows become [v, W/32] int32 bitmaps (built by one
@@ -152,7 +152,10 @@ def vgl_triangle_count(ec: EdgesContainer, block_bits: Optional[int] = None,
     is e·v/32 word-ops, blocked so device memory stays ≤ ~0.5 GB.
     (The VPU analog of the reference-era bitmap set intersection.)"""
     v = ec.vertices_count
-    u_e, v_e = _oriented_simple_edges(ec)
+    # _oriented: pre-computed host orientation (lets benchmarks time the host
+    # dedupe/orientation pass separately from device intersection)
+    u_e, v_e = (_oriented if _oriented is not None
+                else _oriented_simple_edges(ec))
     e_plus = len(u_e)
     if e_plus == 0:
         return 0
