@@ -5,10 +5,20 @@ init → parse → prepare_graph → rounds{run, optional -check} → stats → 
 """
 from __future__ import annotations
 
+import os
 import sys
 import time
 
 import jax
+
+# VGL_APP_CPU=1: run this app on the host CPU backend. The environment's
+# sitecustomize imports jax with JAX_PLATFORMS=axon at interpreter startup,
+# so an env-var override is too late — jax.config.update is the only switch
+# that works (tests/conftest.py uses the same trick). Used by run_tests.py
+# --cpu and local smoke runs that must not touch the exclusive TPU tunnel.
+if os.environ.get("VGL_APP_CPU"):
+    jax.config.update("jax_platforms", "cpu")
+
 import numpy as np
 
 sys.path.insert(0, __file__.rsplit("/", 2)[0])   # repo root

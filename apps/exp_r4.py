@@ -73,19 +73,17 @@ def main():
     mask_bool = jnp.asarray(rng.random(v_pad) < 0.3)
     words = jnp.asarray(rng.integers(0, 2**31, v_pad).astype(np.int32))
 
-    pull_bool = jax.jit(lambda m: advance_pull_value(g, m, "or", direction=G,
-                                                     src_in_src_order=True))
-    dt = timeit(pull_bool, mask_bool)
+    pull_or = jax.jit(lambda gg, m: advance_pull_value(
+        gg, m, "or", direction=G, src_in_src_order=True))
+    dt = timeit(pull_or, g, mask_bool)
     rec("orpull_bool_i8_ms", ms=round(dt * 1e3, 3))
 
-    pull_words = jax.jit(lambda w: advance_pull_value(g, w, "or", direction=G,
-                                                     src_in_src_order=True))
-    dt = timeit(pull_words, words)
+    dt = timeit(pull_or, g, words)
     rec("orpull_words_i32_ms", ms=round(dt * 1e3, 3))
 
-    pull_add = jax.jit(lambda x: advance_pull_value(g, x, "add", direction=G,
-                                                    src_in_src_order=True))
-    dt = timeit(pull_add, words.astype(jnp.float32))
+    pull_add = jax.jit(lambda gg, x: advance_pull_value(
+        gg, x, "add", direction=G, src_in_src_order=True))
+    dt = timeit(pull_add, g, words.astype(jnp.float32))
     rec("addpull_f32_ms", ms=round(dt * 1e3, 3))
 
     # ---- MS-BFS end to end ----
@@ -141,8 +139,8 @@ def main():
 
     dg = g.outgoing
 
-    def stage_owner(ids, valid):
-        degs = jnp.where(valid, jnp.take(dg.degrees, ids, mode="clip"), 0)
+    def stage_owner(ids, valid, degrees=None, row_ptr=None, col_idx=None):
+        degs = jnp.where(valid, jnp.take(degrees, ids, mode="clip"), 0)
         ends = jnp.cumsum(degs)
         starts = ends - degs
         fidx = jnp.arange(cap, dtype=jnp.int32)
@@ -151,31 +149,33 @@ def main():
         owner = jax.lax.cummax(owner)
         return owner, starts, ends
 
-    dt = timeit(jax.jit(stage_owner), ids, valid)
+    dt = timeit(jax.jit(lambda i, vl, dd: stage_owner(i, vl, degrees=dd)),
+                ids, valid, dg.degrees)
     rec("push_stage_owner_ms", ms=round(dt * 1e3, 3))
 
-    def stage_expand(ids, valid):
-        owner, starts, ends = stage_owner(ids, valid)
+    def stage_expand(ids, valid, degrees, row_ptr, col_idx):
+        owner, starts, ends = stage_owner(ids, valid, degrees=degrees)
         pos = jnp.arange(ecap, dtype=jnp.int32)
         evalid = (pos < ends[-1]) & (owner >= 0)
         owner = jnp.clip(owner, 0, cap - 1)
         src = jnp.take(ids, owner, mode="clip")
-        row_start = jnp.take(dg.row_ptr, src, mode="clip")
+        row_start = jnp.take(row_ptr, src, mode="clip")
         e_off = pos - jnp.take(starts, owner, mode="clip")
         e_slot = jnp.where(evalid, row_start + e_off, dg.e_pad)
-        dsts = jnp.take(dg.col_idx, e_slot, mode="clip")
+        dsts = jnp.take(col_idx, e_slot, mode="clip")
         return dsts, evalid
 
-    dt = timeit(jax.jit(stage_expand), ids, valid)
+    dt = timeit(jax.jit(stage_expand), ids, valid, dg.degrees, dg.row_ptr,
+                dg.col_idx)
     rec("push_stage_expand_ms", ms=round(dt * 1e3, 3))
 
-    def full_push(ids, valid):
+    def full_push(gg, ids, valid, lv):
         return advance_push_sparse(
-            g, ids, valid, ecap, {"l": levels},
-            lambda s, d, w: jnp.zeros_like(s["l"]) + 2, "min", levels,
+            gg, ids, valid, ecap, {"l": lv},
+            lambda s, d, w: jnp.zeros_like(s["l"]) + 2, "min", lv,
             direction=S)
 
-    dt = timeit(jax.jit(full_push), ids, valid)
+    dt = timeit(jax.jit(full_push), g, ids, valid, levels)
     rec("push_full_cur_ms", ms=round(dt * 1e3, 3))
 
     # ---- 5: route _C_MIN sweep for int8 ----
@@ -183,9 +183,9 @@ def main():
         route_fused._C_MIN = cmin
         jax.clear_caches()
         try:
-            f = jax.jit(lambda m: advance_pull_value(
-                g, m, "or", direction=G, src_in_src_order=True))
-            dt = timeit(f, mask_bool)
+            f = jax.jit(lambda gg, m: advance_pull_value(
+                gg, m, "or", direction=G, src_in_src_order=True))
+            dt = timeit(f, g, mask_bool)
             rec(f"orpull_bool_cmin{cmin}_ms", ms=round(dt * 1e3, 3))
         except Exception as e:                      # compile OOM expected >16
             rec(f"orpull_bool_cmin{cmin}_ms", error=str(e)[:200])
@@ -197,10 +197,10 @@ def main():
         route_fused._C_MIN = cmin
         jax.clear_caches()
         try:
-            f = jax.jit(lambda x: advance_pull_value(
-                g, x, "min", edge_values=ea.incoming, weight_op="add",
+            f = jax.jit(lambda gg, ev, x: advance_pull_value(
+                gg, x, "min", edge_values=ev, weight_op="add",
                 direction=G, src_in_src_order=True))
-            dt = timeit(f, words.astype(jnp.float32))
+            dt = timeit(f, g, ea.incoming, words.astype(jnp.float32))
             rec(f"minwpull_f32_cmin{cmin}_ms", ms=round(dt * 1e3, 3))
         except Exception as e:
             rec(f"minwpull_f32_cmin{cmin}_ms", error=str(e)[:200])

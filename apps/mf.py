@@ -3,8 +3,8 @@ import sys
 
 import numpy as np
 
+from app_common import run_app          # first: puts the repo on sys.path
 import vectorgraphlibrary_tpu as vgl
-from app_common import run_app
 from vectorgraphlibrary_tpu.models import mf
 
 

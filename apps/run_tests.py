@@ -35,13 +35,22 @@ TIERS = {
 DEFAULT_TIMEOUT = 600
 
 
+FORCE_CPU = False
+
+
 def run_app(app: str, args: list, timeout: int) -> tuple[str, float, bool]:
     """Returns (stdout, wall seconds, timed_out)."""
     cmd = [sys.executable, os.path.join(HERE, f"{app}.py")] + args
+    env = dict(os.environ)
+    if FORCE_CPU:
+        # host-CPU runs must not touch the exclusive TPU tunnel: the app
+        # honors VGL_APP_CPU via jax.config (apps/app_common.py)
+        env.update(VGL_APP_CPU="1", VGL_FORCE_ROUTED="1",
+                   VGL_PALLAS_INTERPRET="1")
     t0 = time.time()
     try:
         r = subprocess.run(cmd, capture_output=True, text=True, timeout=timeout,
-                           cwd=HERE)
+                           cwd=HERE, env=env)
         return r.stdout + r.stderr, time.time() - t0, False
     except subprocess.TimeoutExpired as te:
         out = (te.stdout or b"").decode() if isinstance(te.stdout, bytes) \
@@ -75,7 +84,8 @@ def real_graph_corpus():
     whatever sits under .graphs/ — see io/corpus.py)."""
     sys.path.insert(0, REPO)
     from vectorgraphlibrary_tpu.io import corpus
-    corpus.bundled_graph()       # materialize the in-repo real graph (pydeps)
+    for _name in corpus.BUNDLED:         # materialize the in-repo real graphs
+        corpus.bundled_graph(_name)
     rows = []
     d = corpus.graph_dir()
     for f in sorted(os.listdir(d)):
@@ -150,9 +160,12 @@ def main():
     p.add_argument("--apps", default=None, help="comma-separated subset")
     p.add_argument("--timeout", type=int, default=DEFAULT_TIMEOUT)
     p.add_argument("--it", type=int, default=10)
+    p.add_argument("--cpu", action="store_true",
+                   help="run apps on the host CPU backend (VGL_APP_CPU)")
     p.add_argument("--out", default=os.path.join(REPO, "harness_results"))
     args = p.parse_args()
-    global APPS
+    global APPS, FORCE_CPU
+    FORCE_CPU = args.cpu
     if args.apps:
         APPS = args.apps.split(",")
     rows = []

@@ -1,8 +1,8 @@
 """SSWP benchmark app (reference apps/sswp analog)."""
 import sys
 
+from app_common import run_app          # first: puts the repo on sys.path
 import vectorgraphlibrary_tpu as vgl
-from app_common import run_app
 from vectorgraphlibrary_tpu.models import sswp
 from vectorgraphlibrary_tpu.utils import verify
 

@@ -186,13 +186,18 @@ def main():
              ms=round(s.wall_s * 1e3 / max(s.calls, 1), 3))
     del g20, ea20, ec20
 
-    # ---------------- real graph (cached corpus), if present --------------
-    try:
-        from vectorgraphlibrary_tpu.io import corpus
-        name, ecr = corpus.any_cached_graph()
-    except Exception:
-        name, ecr = None, None
-    if ecr is not None:
+    # ---------------- real graphs (bundled corpus) ------------------------
+    from vectorgraphlibrary_tpu.io import corpus
+    real_rows = []
+    for bname in corpus.BUNDLED:
+        try:
+            name, ecr = corpus.bundled_graph(bname)
+        except Exception:
+            name, ecr = bname, None
+        real_rows.append((name, ecr))
+    for name, ecr in real_rows:
+        if ecr is None:
+            continue
         # weights BEFORE import: import_graph keys keep_edge_slots off
         # ec.weights, and the device tiles need eidx to lay out the weights
         if ecr.weights is None:
@@ -239,10 +244,6 @@ def main():
         emit(f"bfs_{name}_mteps", etr / dt / 1e6, "MTEPS", roots=k_bfs,
              protocol="bit-parallel multi-source", edges_traversed=int(etr))
         del gr, ear, lvr
-    else:
-        print(json.dumps({"note": "no cached real graph (zero-egress); "
-                          "drop a KONECT file under .graphs/ to enable"}),
-              flush=True)
 
     # ---------------- optional scale-22 (opt-in: ~15 min preprocessing) ---
     if os.environ.get("VGL_BENCH_SCALE22"):

@@ -7,7 +7,7 @@ from vectorgraphlibrary_tpu.io import corpus
 
 
 def test_bundled_graph_loads():
-    name, ec = corpus.bundled_graph()
+    name, ec = corpus.bundled_graph("pydeps")
     assert name == "pydeps"
     assert ec is not None
     assert ec.vertices_count == 30107
@@ -16,6 +16,21 @@ def test_bundled_graph_loads():
     deg = np.bincount(ec.dst_ids, minlength=ec.vertices_count)
     assert deg.max() > 1000
     assert (deg == 0).sum() > 1000
+
+
+def test_bundled_call_graph_loads():
+    """Second, larger bundled real graph: the static function-call network
+    (apps/make_call_graph.py)."""
+    name, ec = corpus.bundled_graph("pycalls")
+    assert name == "pycalls"
+    assert ec is not None
+    assert ec.vertices_count > 400_000
+    assert ec.edges_count > 1_000_000
+    deg = np.bincount(ec.dst_ids, minlength=ec.vertices_count)
+    assert deg.max() > 10_000            # hub callees (e.g. logging helpers)
+    # the default bundled pick is the largest graph
+    dname, _ = corpus.bundled_graph()
+    assert dname == "pycalls"
 
 
 def test_bundled_graph_runs_cc():

@@ -75,14 +75,19 @@ def from_vertex(graph: VGLGraph, vertex_original_id,
 
 def compact_ids(frontier: Frontier, capacity: int) -> tuple[jax.Array, jax.Array]:
     """Compacted active ids padded to `capacity` (static). Returns (ids, valid).
-    TPU analog of vector_copy_if_indexes (copy_if.hpp:12-90): a masked cumsum-scatter,
-    fully dense, deterministic order."""
+    TPU analog of vector_copy_if_indexes (copy_if.hpp:12-90).
+
+    Implementation: one `lax.sort` of keyed ids (active first, ascending) —
+    sorting is the one fast irregular primitive on this TPU (2.6 ns/elem at
+    2^20, docs/tpu_random_access.md) and beats the masked cumsum+scatter
+    compaction ~2x at bench sizes; both forms produce identical ascending-id
+    output, deterministic."""
     v_pad = frontier.mask.shape[0]
     idx = jnp.arange(v_pad, dtype=jnp.int32)
-    pos = jnp.cumsum(frontier.mask.astype(jnp.int32)) - 1
-    slot = jnp.where(frontier.mask, jnp.minimum(pos, capacity - 1), capacity)
-    ids = jnp.full((capacity + 1,), v_pad, dtype=jnp.int32).at[slot].set(
-        idx, mode="drop")[:capacity]
+    keys = jnp.where(frontier.mask, idx, jnp.int32(v_pad))
+    ids = jax.lax.sort(keys)[:capacity]
+    # overflow contract matches the scatter form: ids beyond `capacity` drop
+    ids = jnp.where(ids < v_pad, ids, jnp.int32(v_pad))
     valid = jnp.arange(capacity, dtype=jnp.int32) < frontier.size
     return ids, valid
 

@@ -105,23 +105,30 @@ def load(name: str, fetch: bool = True) -> Optional[EdgesContainer]:
     return ec
 
 
-def bundled_graph() -> Tuple[str, Optional[EdgesContainer]]:
-    """The real-world graph shipped IN the repo (zero-egress fallback):
-    `data/pydeps.el.gz`, the Python-module import network snapshot built by
-    `apps/make_real_graph.py` (software-dependency networks are a standard
-    KONECT category; this one has ~31.6k modules / ~222k import edges with
-    power-law in-degrees). Converted once to .el_container in the cache."""
-    name = "pydeps"
-    cpath = _container_path(name)
-    if os.path.exists(cpath):
-        return name, EdgesContainer.load_from_binary_file(cpath)
-    src = os.path.join(os.path.dirname(os.path.dirname(
-        os.path.abspath(__file__))), "data", "pydeps.el.gz")
-    if not os.path.exists(src):
-        return name, None
-    ec = import_konect(src)
-    ec.save_to_binary_file(cpath)
-    return name, ec
+# real-world graphs shipped IN the repo (zero-egress fallbacks), largest
+# first: software-dependency/call networks are a standard KONECT category.
+# - pycalls: static function-call graph of the installed Python code
+#   (apps/make_call_graph.py — ~495k functions / ~1.51M resolved call edges)
+# - pydeps: module import network (apps/make_real_graph.py — ~31.6k modules
+#   / ~222k import edges)
+BUNDLED = ["pycalls", "pydeps"]
+
+
+def bundled_graph(name: Optional[str] = None
+                  ) -> Tuple[str, Optional[EdgesContainer]]:
+    """A real-world graph shipped in the repo, converted once to
+    .el_container in the cache. Default: the largest bundled graph."""
+    for cand in ([name] if name else BUNDLED):
+        cpath = _container_path(cand)
+        if os.path.exists(cpath):
+            return cand, EdgesContainer.load_from_binary_file(cpath)
+        src = os.path.join(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__))), "data", f"{cand}.el.gz")
+        if os.path.exists(src):
+            ec = import_konect(src)
+            ec.save_to_binary_file(cpath)
+            return cand, ec
+    return (name or "pydeps"), None
 
 
 def any_cached_graph() -> Tuple[Optional[str], Optional[EdgesContainer]]:

@@ -693,10 +693,24 @@ def advance_push_sparse(graph: VGLGraph,
     dg = graph.direction(direction)
     cap = frontier_ids.shape[0]
 
+    # ALL per-frontier lookups happen at CAP size (cheap when the tiered
+    # capacities are small), and the edge_capacity-sized stages are exactly
+    # four passes: mark-scatter+cummax (owner), one fused owner-indexed
+    # gather group (delta + per-source values), one fused e_slot-indexed
+    # gather group (adjacency + edge values), and the final scatter-combine.
+    # Gathers sharing an index array fuse into one pass in XLA; element
+    # gathers cost ~24 ns/elem on this chip regardless (see
+    # docs/tpu_random_access.md), which is why the caller's tier ladder —
+    # not this function — is the real work-efficiency mechanism.
     degs = jnp.where(frontier_valid,
                      jnp.take(dg.degrees, frontier_ids, mode="clip"), 0)
+    row_start_c = jnp.take(dg.row_ptr, frontier_ids, mode="clip")
     ends = jnp.cumsum(degs)                                     # inclusive
     starts_local = ends - degs
+    # per-frontier-row constant: e_slot = pos + delta[owner]
+    delta_c = row_start_c - starts_local
+    sv_cap = {k: jnp.take(a, frontier_ids, mode="clip")
+              for k, a in src_arrays.items()}
     total = ends[-1] if cap > 0 else jnp.int32(0)
 
     pos = jnp.arange(edge_capacity, dtype=jnp.int32)
@@ -718,14 +732,12 @@ def advance_push_sparse(graph: VGLGraph,
     evalid = (pos < total) & (owner_c >= 0)
     owner_c = jnp.clip(owner_c, 0, cap - 1)
 
-    src_sorted = jnp.take(frontier_ids, owner_c, mode="clip")
-    row_start = jnp.take(dg.row_ptr, src_sorted, mode="clip")
-    e_off = pos - jnp.take(starts_local, owner_c, mode="clip")
-    e_slot = jnp.where(evalid, row_start + e_off, dg.e_pad)
-
+    e_slot = jnp.where(evalid,
+                       pos + jnp.take(delta_c, owner_c, mode="clip"),
+                       dg.e_pad)
     dsts = jnp.take(dg.col_idx, e_slot, mode="clip")
-    sv = {k: jnp.take(a, src_sorted, mode="clip")[:, None]
-          for k, a in src_arrays.items()}
+    sv = {k: jnp.take(a, owner_c, mode="clip")[:, None]
+          for k, a in sv_cap.items()}
     w = (None if edge_values is None
          else jnp.take(edge_values.flat, e_slot, mode="clip")[:, None])
     msg = edge_op(sv, {}, w)[:, 0]
