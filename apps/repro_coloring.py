@@ -59,41 +59,41 @@ def main():
 
     step("banned_word or-pull (single round, w=0)")
 
-    def banned(colors, w):
+    def banned(gg, colors, w):
         def op(s, d, wt):
             c = s["c"]
             in_word = (c >= 0) & (c // 32 == w)
             return jnp.where(in_word, jnp.left_shift(jnp.int32(1), c % 32),
                              jnp.int32(0))
-        return common.undirected_pull(g, {"c": colors}, op, "or")
+        return common.undirected_pull(gg, {"c": colors}, op, "or")
 
-    sync(jax.jit(lambda c: banned(c, 0))(colors))
+    sync(jax.jit(lambda gg, c: banned(gg, c, 0))(g, colors))
 
     step("priority min-pull (2 routed arrays)")
 
-    def prio_pull(colors, prio):
+    def prio_pull(gg, colors, prio):
         def op(s, d, wt):
             return jnp.where(s["c"] == coloring.UNCOLORED, s["p"],
                              jnp.int32(2**31 - 1))
-        return common.undirected_pull(g, {"c": colors, "p": prio}, op, "min")
+        return common.undirected_pull(gg, {"c": colors, "p": prio}, op, "min")
 
-    sync(jax.jit(prio_pull)(colors, prio))
+    sync(jax.jit(prio_pull)(g, colors, prio))
 
     step("one full round body (no while_loop)")
 
-    def one_round(colors, prio):
+    def one_round(gg, colors, prio):
         words = 2
         uncolored = colors == coloring.UNCOLORED
 
         def op(s, d, wt):
             return jnp.where(s["c"] == coloring.UNCOLORED, s["p"],
                              jnp.int32(2**31 - 1))
-        nb_best = common.undirected_pull(g, {"c": colors, "p": prio}, op,
+        nb_best = common.undirected_pull(gg, {"c": colors, "p": prio}, op,
                                          "min")
         winner = uncolored & (prio <= nb_best)
         cand = jnp.full(v_pad, jnp.int32(words * 32), jnp.int32)
         for w in range(words):
-            bw = banned(colors, w)
+            bw = banned(gg, colors, w)
             free = jnp.bitwise_not(bw)
             lsb = free & (-free)
             pos = 31 - jnp.clip(jax.lax.clz(lsb.astype(jnp.uint32)).astype(
@@ -102,7 +102,7 @@ def main():
                                                jnp.int32(words * 32)))
         return jnp.where(winner & (cand < words * 32), cand, colors)
 
-    sync(jax.jit(one_round)(colors, prio))
+    sync(jax.jit(one_round)(g, colors, prio))
 
     step("jitted while_loop, 3 rounds")
     sync(coloring._coloring_run(g, prio, 2, 3)[0])
