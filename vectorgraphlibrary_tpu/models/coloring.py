@@ -40,23 +40,28 @@ def _coloring_run(graph: VGLGraph, prio: jax.Array, words: int,
     colors0 = jnp.where(real, UNCOLORED, jnp.int32(0))
 
     def banned_word(colors, w):
-        """OR of (1 << (color - 32w)) over undirected neighbors, per vertex."""
-        def op(s, d, wt):
-            c = s["c"]
-            in_word = (c >= 0) & (c // 32 == w)
-            return jnp.where(in_word,
-                             jnp.left_shift(jnp.int32(1), c % 32),
+        """OR of (1 << (color - 32w)) over undirected neighbors, per vertex.
+
+        The message depends on the SOURCE alone, so it is pre-masked
+        elementwise and pulled through the restricted fused advance — one
+        route per direction. The old generic-edge-op form compiled 2 routed
+        pulls per word per direction with per-array routing; at scale-18 the
+        resulting while_loop HLO took >20 min to compile and killed the
+        remote-compile worker (the r3 'coloring kernel fault')."""
+        in_word = (colors >= 0) & (colors // 32 == w)
+        src_bits = jnp.where(in_word,
+                             jnp.left_shift(jnp.int32(1), colors % 32),
                              jnp.int32(0))
-        return common.undirected_pull(graph, {"c": colors}, op, "or")
+        return common.undirected_value_pull(graph, src_bits, "or")
 
     def round_body(state):
         colors, rnd, _ = state
         uncolored = (colors == UNCOLORED) & real
-        # highest uncolored-neighbor priority (min sorted id = highest priority)
-        def prio_op(s, d, wt):
-            return jnp.where(s["c"] == UNCOLORED, s["p"], jnp.int32(2**31 - 1))
-        nb_best = common.undirected_pull(
-            graph, {"c": colors, "p": prio}, prio_op, "min")
+        # highest uncolored-neighbor priority (min sorted id = highest
+        # priority) — also source-only, so premask + min value pull
+        prio_masked = jnp.where(colors == UNCOLORED, prio,
+                                jnp.int32(2**31 - 1))
+        nb_best = common.undirected_value_pull(graph, prio_masked, "min")
         # <= not <: a self-loop makes a vertex its own uncolored neighbor, so
         # nb_best == prio there; priorities are a permutation, so cross-vertex
         # equality cannot occur and <= stays race-free

@@ -143,7 +143,7 @@ def _tc_build_bits(u_blk: jax.Array, v_local: jax.Array, v_rows: int,
 
 
 def vgl_triangle_count(ec: EdgesContainer, block_bits: Optional[int] = None,
-                       edge_chunk: int = 1 << 13, _oriented=None) -> int:
+                       edge_chunk: int = 1 << 15, _oriented=None) -> int:
     """DEVICE triangle count (BASELINE.json SDDMM-style config): for each
     degree-oriented edge (u,v), |N+(u) ∩ N+(v)| via column-blocked dense
     bitmaps — per block, N+ rows become [v, W/32] int32 bitmaps (built by one

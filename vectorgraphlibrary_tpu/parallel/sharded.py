@@ -301,17 +301,22 @@ def make_coloring_sharded(sg: ShardedTileGraph, mesh, seed: int = 0,
         g = take_shard(gstack)
         colors0 = jnp.where(real, UNCOLORED, jnp.int32(0))
 
-        def und_min(arrays_o, edge_op):
-            m_in = _shard_pull_arrays_original(g, arrays_o, edge_op, "min", G)
-            m_out = _shard_pull_arrays_original(g, arrays_o, edge_op, "min", S)
+        # both pulls are functions of the SOURCE alone: premask elementwise
+        # and pull VALUES through the restricted fused advance — one route
+        # per direction (the generic multi-array form compiled per-array
+        # routing and blew up while_loop compiles at scale; see
+        # models/coloring.py banned_word note)
+        def und_min(vec_o):
+            m_in = _shard_pull_original(g, vec_o, "min", direction=G)
+            m_out = _shard_pull_original(g, vec_o, "min", direction=S)
             return jax.lax.pmin(jnp.minimum(m_in, m_out), E)
 
-        def und_or(arrays_o, edge_op):
-            m_in = _shard_pull_arrays_original(g, arrays_o, edge_op, "or", G)
-            m_out = _shard_pull_arrays_original(g, arrays_o, edge_op, "or", S)
+        def und_or(vec_o):
+            m_in = _shard_pull_original(g, vec_o, "or", direction=G)
+            m_out = _shard_pull_original(g, vec_o, "or", direction=S)
             both = m_in | m_out
-            # bitwise-or across devices (pmax would drop bits): gather the
-            # per-shard masks and OR-reduce locally
+            # bitwise-or across devices (per-shard masks DIFFER, so no max
+            # collective applies): gather and OR-reduce locally
             allm = jax.lax.all_gather(both, E)
             return jax.lax.reduce(allm, jnp.zeros((), both.dtype),
                                   jax.lax.bitwise_or, (0,))
@@ -319,19 +324,15 @@ def make_coloring_sharded(sg: ShardedTileGraph, mesh, seed: int = 0,
         def round_body(state):
             colors, rnd, _ = state
             uncolored = (colors == UNCOLORED) & real
-            nb_best = und_min(
-                {"c": colors, "p": prio},
-                lambda s, d, w: jnp.where(s["c"] == UNCOLORED, s["p"],
-                                          jnp.int32(2**31 - 1)))
+            nb_best = und_min(jnp.where(colors == UNCOLORED, prio,
+                                        jnp.int32(2**31 - 1)))
             winner = uncolored & (prio <= nb_best)
             cand = jnp.full(v_pad, jnp.int32(words * 32), jnp.int32)
             for w in range(words):
-                bw = und_or(
-                    {"c": colors},
-                    lambda s, d, wt, w=w: jnp.where(
-                        (s["c"] >= 0) & (s["c"] // 32 == w),
-                        jnp.left_shift(jnp.int32(1), s["c"] % 32),
-                        jnp.int32(0)))
+                bw = und_or(jnp.where(
+                    (colors >= 0) & (colors // 32 == w),
+                    jnp.left_shift(jnp.int32(1), colors % 32),
+                    jnp.int32(0)))
                 free = jnp.bitwise_not(bw)
                 lsb = free & (-free)
                 pos = (31 - jnp.clip(jax.lax.clz(lsb.astype(jnp.uint32))
