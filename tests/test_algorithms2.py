@@ -60,6 +60,26 @@ def test_coloring(setup):
     assert got.max() <= max(int(want.max()) * 3, 8)
 
 
+def test_coloring_high_chromatic_clique():
+    """A K-96 clique needs 96 colors > the 64-color window (words=2): the
+    saturated-winner escape (max neighbor color + 1) must produce a VALID
+    coloring without window retries (the r3 scale-18 fault was the doubled
+    retry program's compile blowup)."""
+    from vectorgraphlibrary_tpu.io.edges_container import EdgesContainer
+    from vectorgraphlibrary_tpu.graph.device import import_graph
+    n = 96
+    s, d = np.meshgrid(np.arange(n), np.arange(n))
+    keep = s != d
+    ec = EdgesContainer(s[keep].astype(np.int32), d[keep].astype(np.int32), n)
+    g = import_graph(ec)
+    colors, rounds = coloring.vgl_coloring(g)
+    got = np.asarray(colors.values)[:n]
+    assert verify.verify_colors(ec, got) == 0
+    assert got.min() >= 0
+    assert len(np.unique(got)) == n          # clique: all colors distinct
+    assert got.max() >= 64                   # the escape actually fired
+
+
 def test_sswp(setup):
     ec, g, ea = setup
     src = common.select_random_source(ec, seed=31)

@@ -80,11 +80,22 @@ def _coloring_run(graph: VGLGraph, prio: jax.Array, words: int,
             word_cand = jnp.where(has_free, 32 * w + pos, jnp.int32(words * 32))
             cand = jnp.minimum(cand, word_cand)
 
-        # a winner whose whole 32*words window is banned must STAY uncolored
-        # (the caller retries with a doubled window); assigning the out-of-window
-        # sentinel would silently produce an invalid coloring
-        winner = winner & (cand < words * 32)
-        colors_new = jnp.where(winner, cand, colors)
+        # saturated-window winners (hub-adjacent vertices on high-chromatic
+        # graphs) take max(neighbor colors)+1 instead: valid for ANY
+        # chromatic number at CONSTANT program size. (The old design retried
+        # the whole run with a doubled window; at scale-18 the words=8 retry
+        # program crashed the remote-compile worker — the r3 'coloring
+        # kernel fault'.) Validity: winners are priority-unique per
+        # neighborhood, and max+1 differs from every neighbor's color; the
+        # escape only fires when all 32*words window colors are banned, so
+        # max_nb+1 > 32*words never collides with a window color.
+        max_nb = common.undirected_value_pull(
+            graph, jnp.where(colors >= 0, colors, jnp.int32(-1)), "max")
+        colors_new = jnp.where(
+            winner,
+            jnp.where(cand < words * 32, cand,
+                      jnp.maximum(max_nb, jnp.int32(words * 32 - 1)) + 1),
+            colors)
         changed = jnp.sum(winner, dtype=jnp.int32)
         return colors_new, rnd + 1, changed
 
@@ -106,9 +117,9 @@ def vgl_coloring(graph: VGLGraph, max_colors: int = 64,
     prio = jnp.asarray(rng.permutation(graph.v_pad).astype(np.int32))
     words = max(1, (max_colors + 31) // 32)
     colors, rounds, remaining = _coloring_run(graph, prio, words, max_rounds)
-    if int(remaining) > 0:
-        # color window too small for this graph — double and retry
-        return vgl_coloring(graph, max_colors * 2, max_rounds, seed)
+    assert int(remaining) == 0, (
+        f"{int(remaining)} vertices uncolored after {int(rounds)} rounds — "
+        "raise max_rounds")
     return VertexArray(values=colors, direction=O), int(rounds)
 
 

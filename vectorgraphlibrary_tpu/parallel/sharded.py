@@ -286,9 +286,9 @@ def make_coloring_sharded(sg: ShardedTileGraph, mesh, seed: int = 0,
     """Distributed Jones-Plassmann greedy coloring (reference
     coloring.hpp:66-158): per round, shard-local undirected pulls compute the
     best uncolored-neighbor priority (pmin merge) and the banned-color
-    bitmasks (bitwise-or merge via pmax over int32), winners take their
-    smallest free color. Returns jitted (stacked,) -> colors [v_pad, O]
-    (UNCOLORED=-1 left for vertices whose 32*words window overflowed)."""
+    bitmasks (all_gather + bitwise-or), winners take their smallest free
+    window color, saturated winners take max(neighbor)+1. Returns jitted
+    (stacked,) -> colors [v_pad, O]."""
     v, v_pad = sg.v, sg.v_pad
     UNCOLORED = jnp.int32(-1)
     real = jnp.arange(v_pad) < v
@@ -340,10 +340,23 @@ def make_coloring_sharded(sg: ShardedTileGraph, mesh, seed: int = 0,
                 word_cand = jnp.where(free != 0, 32 * w + pos,
                                       jnp.int32(words * 32))
                 cand = jnp.minimum(cand, word_cand)
-            assign = winner & (cand < words * 32)
-            new_colors = jnp.where(assign, cand, colors)
+            # saturated-window winners take max(neighbor color)+1 — valid
+            # for any chromatic number at constant program size
+            # (models/coloring.py round_body note)
+            mx_in = _shard_pull_original(
+                g, jnp.where(colors >= 0, colors, jnp.int32(-1)), "max",
+                direction=G)
+            mx_out = _shard_pull_original(
+                g, jnp.where(colors >= 0, colors, jnp.int32(-1)), "max",
+                direction=S)
+            max_nb = jax.lax.pmax(jnp.maximum(mx_in, mx_out), E)
+            new_colors = jnp.where(
+                winner,
+                jnp.where(cand < words * 32, cand,
+                          jnp.maximum(max_nb, jnp.int32(words * 32 - 1)) + 1),
+                colors)
             return (new_colors, rnd + 1,
-                    jnp.sum(assign, dtype=jnp.int32))
+                    jnp.sum(winner, dtype=jnp.int32))
 
         def cond(state):
             colors, rnd, assigned = state
