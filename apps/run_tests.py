@@ -95,9 +95,14 @@ def real_graph_corpus():
     return rows
 
 
+REAL_FILTER = None
+
+
 def tier_graphs(tier):
     if tier == "real":
         rg = real_graph_corpus()
+        if REAL_FILTER:
+            rg = [r for r in rg if r[2] in REAL_FILTER]
         if not rg:
             print("real tier: no cached corpus graphs under .graphs/ "
                   "(zero-egress? see io/corpus.py)")
@@ -162,10 +167,13 @@ def main():
     p.add_argument("--it", type=int, default=10)
     p.add_argument("--cpu", action="store_true",
                    help="run apps on the host CPU backend (VGL_APP_CPU)")
+    p.add_argument("--real", default=None,
+                   help="comma-separated real-graph names for --tier real")
     p.add_argument("--out", default=os.path.join(REPO, "harness_results"))
     args = p.parse_args()
-    global APPS, FORCE_CPU
+    global APPS, FORCE_CPU, REAL_FILTER
     FORCE_CPU = args.cpu
+    REAL_FILTER = args.real.split(",") if args.real else None
     if args.apps:
         APPS = args.apps.split(",")
     rows = []

@@ -289,14 +289,18 @@ def main():
 
     graph = import_graph(ec)
 
-    # coloring at this scale triggered a TPU-worker kernel fault on the axon
-    # tunnel (2026-08-21); opt-in until the faulting kernel is isolated so a
-    # driver bench run can never die on it
-    if os.environ.get("VGL_BENCH_COLORING"):
+    # the r3 "coloring kernel fault" was a compile-resource blowup (the
+    # window-doubling retry recompiled an 8-word program); fixed in r4 by
+    # premasked value pulls + the constant-size saturated-winner escape —
+    # un-gated. VGL_BENCH_NO_COLORING=1 skips it if ever needed.
+    if not os.environ.get("VGL_BENCH_NO_COLORING"):
         from vectorgraphlibrary_tpu.models import coloring as col
+        _, col_rounds = col.vgl_coloring(graph)        # warmup + rounds
         dt = _bench(lambda: col.vgl_coloring(graph)[0].values)
         emit(f"coloring_rmat{scale}_mteps", ec.edges_count / dt / 1e6,
-             "MTEPS", scale=scale, avg_degree=degree)
+             "MTEPS", scale=scale, avg_degree=degree, rounds=col_rounds,
+             note="Jones-Plassmann + speculative assignment; rounds are "
+             "bounded below by the RMAT core's clique number")
 
     dt = _bench(lambda: pr.vgl_page_rank(graph, max_iterations=iters,
                                          use_convergence=False)[0].values)

@@ -58,7 +58,7 @@ def _coloring_run(graph: VGLGraph, prio: jax.Array, words: int,
         colors, rnd, _ = state
         uncolored = (colors == UNCOLORED) & real
         # highest uncolored-neighbor priority (min sorted id = highest
-        # priority) — also source-only, so premask + min value pull
+        # priority) — source-only, so premask + min value pull
         prio_masked = jnp.where(colors == UNCOLORED, prio,
                                 jnp.int32(2**31 - 1))
         nb_best = common.undirected_value_pull(graph, prio_masked, "min")
@@ -80,23 +80,44 @@ def _coloring_run(graph: VGLGraph, prio: jax.Array, words: int,
             word_cand = jnp.where(has_free, 32 * w + pos, jnp.int32(words * 32))
             cand = jnp.minimum(cand, word_cand)
 
-        # saturated-window winners (hub-adjacent vertices on high-chromatic
-        # graphs) take max(neighbor colors)+1 instead: valid for ANY
-        # chromatic number at CONSTANT program size. (The old design retried
-        # the whole run with a doubled window; at scale-18 the words=8 retry
-        # program crashed the remote-compile worker — the r3 'coloring
-        # kernel fault'.) Validity: winners are priority-unique per
-        # neighborhood, and max+1 differs from every neighbor's color; the
-        # escape only fires when all 32*words window colors are banned, so
-        # max_nb+1 > 32*words never collides with a window color.
+        # SPECULATIVE assignment (csrcolor/Gebremedhin-Manne style): EVERY
+        # uncolored vertex tentatively takes its min free color; a tentative
+        # survives unless some undirected neighbor speculates the SAME color
+        # (detected by an or-pull of tentative color bits). Conflicting
+        # tentatives retry next round — except Jones-Plassmann winners, which
+        # always stick (winners are priority-unique per neighborhood, so two
+        # adjacent winners cannot exist → progress is guaranteed every
+        # round). Pure-JP assignment serializes on the RMAT near-clique core
+        # (measured rounds ≈ 4x chromatic number: 295 rounds at scale-14);
+        # speculation keeps the non-conflicting mass every round.
+        tentative = uncolored & (cand < words * 32)
+        conflict = jnp.zeros(v_pad, dtype=bool)
+        for w in range(words):
+            tb_src = jnp.where(tentative & (cand // 32 == w),
+                               jnp.left_shift(jnp.int32(1), cand % 32),
+                               jnp.int32(0))
+            nb_tent = common.undirected_value_pull(graph, tb_src, "or")
+            mine = jnp.left_shift(jnp.int32(1), cand % 32)
+            conflict = conflict | ((cand // 32 == w)
+                                   & ((nb_tent & mine) != 0))
+        keep = tentative & (winner | ~conflict)
+
+        # saturated-window WINNERS (hub-adjacent vertices on high-chromatic
+        # graphs) take max(neighbor colors)+1: valid for ANY chromatic number
+        # at CONSTANT program size. (The old design retried the whole run
+        # with a doubled window; at scale-18 the words=8 retry program
+        # crashed the remote-compile worker — the r3 'coloring kernel
+        # fault'.) The escape fires only when all 32*words window colors are
+        # banned, so max_nb+1 > 32*words never collides with a window color,
+        # and winner-uniqueness makes it conflict-free.
         max_nb = common.undirected_value_pull(
             graph, jnp.where(colors >= 0, colors, jnp.int32(-1)), "max")
+        escape = winner & (cand >= words * 32)
+        colors_new = jnp.where(keep, cand, colors)
         colors_new = jnp.where(
-            winner,
-            jnp.where(cand < words * 32, cand,
-                      jnp.maximum(max_nb, jnp.int32(words * 32 - 1)) + 1),
-            colors)
-        changed = jnp.sum(winner, dtype=jnp.int32)
+            escape, jnp.maximum(max_nb, jnp.int32(words * 32 - 1)) + 1,
+            colors_new)
+        changed = jnp.sum(keep | escape, dtype=jnp.int32)
         return colors_new, rnd + 1, changed
 
     def cond(state):
@@ -110,7 +131,7 @@ def _coloring_run(graph: VGLGraph, prio: jax.Array, words: int,
 
 
 def vgl_coloring(graph: VGLGraph, max_colors: int = 64,
-                 max_rounds: int = 1000, seed: int = 0
+                 max_rounds: int = 100_000, seed: int = 0
                  ) -> tuple[VertexArray, int]:
     import numpy as np
     rng = np.random.default_rng(seed)
