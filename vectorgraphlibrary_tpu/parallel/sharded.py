@@ -732,16 +732,18 @@ def msbfs_sharded_scan(sg: ShardedTileGraph, roots, max_levels: int = 32766):
     out-of-HBM): 32 roots ride one int32 word per vertex through a single
     bitwise-or pull scan per level — the scan-path twin of
     models/bfs.vgl_msbfs. roots: int32 [32] ORIGINAL ids (duplicates fine).
-    Returns levels int16 [32, v_pad] in ORIGINAL ordering (source level 1,
-    unvisited -1)."""
+    Returns levels int8 [32, v_pad] in ORIGINAL ordering (source level 1,
+    unvisited -1; int8 keeps the state at 0.5 GB at scale-24 where the slim
+    graph already occupies ~13 of 16 GB HBM — depth capped at 126)."""
     v, v_pad = sg.v, sg.v_pad
+    max_levels = min(max_levels, 126)
     real = jnp.arange(v_pad) < v
     bits = jnp.int32(1) << jnp.arange(32, dtype=jnp.int32)
     seed = jnp.zeros(v_pad, jnp.int32).at[roots].add(bits, mode="drop")
     seed = jnp.where(real, seed, 0)
     lev0 = jnp.where(
         ((seed[None, :] >> jnp.arange(32, dtype=jnp.int32)[:, None]) & 1) == 1,
-        jnp.int16(1), jnp.int16(-1))
+        jnp.int8(1), jnp.int8(-1))
 
     def cond(state):
         seen, frontier, levels, cur, alive = state
@@ -753,7 +755,7 @@ def msbfs_sharded_scan(sg: ShardedTileGraph, roots, max_levels: int = 32766):
         reached = jnp.where(real, reached, 0)
         newly = reached & ~seen
         bit = (newly[None, :] >> jnp.arange(32, dtype=jnp.int32)[:, None]) & 1
-        levels2 = jnp.where(bit == 1, (cur + 1).astype(jnp.int16), levels)
+        levels2 = jnp.where(bit == 1, (cur + 1).astype(jnp.int8), levels)
         return (seen | newly, newly, levels2, cur + 1, jnp.any(newly != 0))
 
     _, _, levels, _, _ = jax.lax.while_loop(
