@@ -1,16 +1,26 @@
-"""Greedy graph coloring (Jones-Plassmann style).
+"""Greedy graph coloring (Jones-Plassmann + speculative assignment).
 
 Capability match for the reference coloring (`algorithms/coloring/coloring.hpp:66-158`):
 per-vertex banned-color bitmask (`set_bit/smallest_bit_pos` :13-62), gather neighbor
 colors, pick smallest free color, recolor-conflict loop; validated by the same
 property check (`verify_colors`, verify_results.h:291-319`).
 
-TPU-native design: a Jones-Plassmann round — every uncolored vertex whose priority
-beats all uncolored undirected neighbors picks the smallest color absent from its
-neighborhood. Banned sets are W×32-bit words accumulated with bitwise-OR tiled pulls
-(the reference's 64-bit mask generalized to a configurable 32·W-color window);
-priority = degree-descending sorted id, so the parallel result matches the greedy
-sequential ordering heuristic.
+TPU-native design (round-4 rework; the r3 "coloring kernel fault" history is
+in the banned_word docstring):
+- every per-edge message is a function of the SOURCE alone, so each pull is a
+  pre-masked VALUE pull through the restricted fused advance (one route per
+  direction; `models/common.undirected_value_pull`);
+- SPECULATIVE rounds: every uncolored vertex tentatively picks a RANDOM free
+  color from the current 32·words window (randomized palette — classic
+  distributed Δ+1 coloring symmetry breaking); conflicts (same tentative
+  color on an undirected edge, detected by one or-pull of tentative bits per
+  word) retry, except Jones-Plassmann priority winners, which always stick —
+  guaranteed progress every round;
+- a SLIDING window replaces unbounded bitmasks: when a round keeps nothing
+  while uncolored vertices remain, every uncolored vertex's current window is
+  fully banned, so the window base advances losslessly by 32·words. Program
+  size is CONSTANT in the chromatic number (the r3 design doubled the window
+  and recompiled — the compile blowup that crashed the scale-18 bench).
 """
 from __future__ import annotations
 
@@ -29,6 +39,15 @@ O = TraversalDirection.ORIGINAL
 UNCOLORED = jnp.int32(-1)
 
 
+def _hash32(x):
+    """lowbias32 integer mix (uint32 in/out) for palette randomization."""
+    x = x ^ (x >> 16)
+    x = x * jnp.uint32(0x7FEB352D)
+    x = x ^ (x >> 15)
+    x = x * jnp.uint32(0x846CA68B)
+    return x ^ (x >> 16)
+
+
 @functools.partial(jax.jit, static_argnums=(2, 3))
 def _coloring_run(graph: VGLGraph, prio: jax.Array, words: int,
                   max_rounds: int):
@@ -38,9 +57,10 @@ def _coloring_run(graph: VGLGraph, prio: jax.Array, words: int,
     ids = jnp.arange(v_pad, dtype=jnp.int32)
     real = ids < v
     colors0 = jnp.where(real, UNCOLORED, jnp.int32(0))
+    win = words * 32
 
-    def banned_word(colors, w):
-        """OR of (1 << (color - 32w)) over undirected neighbors, per vertex.
+    def banned_word(colors, base, w):
+        """OR of (1 << (color - base - 32w)) over undirected neighbors.
 
         The message depends on the SOURCE alone, so it is pre-masked
         elementwise and pulled through the restricted fused advance — one
@@ -48,14 +68,14 @@ def _coloring_run(graph: VGLGraph, prio: jax.Array, words: int,
         pulls per word per direction with per-array routing; at scale-18 the
         resulting while_loop HLO took >20 min to compile and killed the
         remote-compile worker (the r3 'coloring kernel fault')."""
-        in_word = (colors >= 0) & (colors // 32 == w)
+        in_word = (colors >= 0) & (colors // 32 == base // 32 + w)
         src_bits = jnp.where(in_word,
                              jnp.left_shift(jnp.int32(1), colors % 32),
                              jnp.int32(0))
         return common.undirected_value_pull(graph, src_bits, "or")
 
     def round_body(state):
-        colors, rnd, _ = state
+        colors, rnd, base, _ = state
         uncolored = (colors == UNCOLORED) & real
         # highest uncolored-neighbor priority (min sorted id = highest
         # priority) — source-only, so premask + min value pull
@@ -67,30 +87,39 @@ def _coloring_run(graph: VGLGraph, prio: jax.Array, words: int,
         # equality cannot occur and <= stays race-free
         winner = uncolored & (prio <= nb_best)
 
-        # smallest free color across words
-        cand = jnp.full(v_pad, jnp.int32(words * 32), jnp.int32)
+        # random free color in the current window (randomized palette: two
+        # adjacent vertices with similar banned sets rarely collide, so the
+        # RMAT near-clique core colors in ~log rounds instead of one vertex
+        # per round; winners take the deterministic rotation too — validity
+        # does not depend on the pick)
+        rot = (_hash32(prio.astype(jnp.uint32)
+                       ^ jnp.uint32(0x9E3779B9)
+                       * rnd.astype(jnp.uint32))
+               & jnp.uint32(31)).astype(jnp.int32)
+        cand = jnp.full(v_pad, jnp.int32(win), jnp.int32)   # window-relative
         for w in range(words):
-            bw = banned_word(colors, w)
+            bw = banned_word(colors, base, w)
             free = jnp.bitwise_not(bw)
             has_free = free != 0
-            lsb = free & (-free)
-            # position of least significant set bit
-            pos = (31 - jnp.clip(
-                jax.lax.clz(lsb.astype(jnp.uint32)).astype(jnp.int32), 0, 31))
-            word_cand = jnp.where(has_free, 32 * w + pos, jnp.int32(words * 32))
+            freeu = free.astype(jnp.uint32)
+            rotated = ((freeu >> rot.astype(jnp.uint32))
+                       | (freeu << ((32 - rot) % 32).astype(jnp.uint32)))
+            rotated = jnp.where(rot == 0, freeu, rotated)
+            lsb = rotated & (-rotated).astype(jnp.uint32)
+            pos_rot = (31 - jnp.clip(
+                jax.lax.clz(lsb).astype(jnp.int32), 0, 31))
+            pos = (pos_rot + rot) % 32
+            word_cand = jnp.where(has_free, 32 * w + pos, jnp.int32(win))
             cand = jnp.minimum(cand, word_cand)
 
-        # SPECULATIVE assignment (csrcolor/Gebremedhin-Manne style): EVERY
-        # uncolored vertex tentatively takes its min free color; a tentative
-        # survives unless some undirected neighbor speculates the SAME color
-        # (detected by an or-pull of tentative color bits). Conflicting
-        # tentatives retry next round — except Jones-Plassmann winners, which
-        # always stick (winners are priority-unique per neighborhood, so two
-        # adjacent winners cannot exist → progress is guaranteed every
-        # round). Pure-JP assignment serializes on the RMAT near-clique core
-        # (measured rounds ≈ 4x chromatic number: 295 rounds at scale-14);
-        # speculation keeps the non-conflicting mass every round.
-        tentative = uncolored & (cand < words * 32)
+        # SPECULATIVE assignment (csrcolor/Gebremedhin-Manne style): every
+        # uncolored vertex with a free window color tentatively takes it; a
+        # tentative survives unless an undirected neighbor speculates the
+        # SAME color (or-pull of tentative bits). Conflicting tentatives
+        # retry — except Jones-Plassmann winners, which always stick
+        # (priority-unique per neighborhood, so adjacent winners cannot
+        # exist -> progress whenever any tentative exists).
+        tentative = uncolored & (cand < win)
         conflict = jnp.zeros(v_pad, dtype=bool)
         for w in range(words):
             tb_src = jnp.where(tentative & (cand // 32 == w),
@@ -101,31 +130,30 @@ def _coloring_run(graph: VGLGraph, prio: jax.Array, words: int,
             conflict = conflict | ((cand // 32 == w)
                                    & ((nb_tent & mine) != 0))
         keep = tentative & (winner | ~conflict)
+        colors_new = jnp.where(keep, base + cand, colors)
+        kept = jnp.sum(keep, dtype=jnp.int32)
+        left = jnp.sum(uncolored, dtype=jnp.int32) - kept
 
-        # saturated-window WINNERS (hub-adjacent vertices on high-chromatic
-        # graphs) take max(neighbor colors)+1: valid for ANY chromatic number
-        # at CONSTANT program size. (The old design retried the whole run
-        # with a doubled window; at scale-18 the words=8 retry program
-        # crashed the remote-compile worker — the r3 'coloring kernel
-        # fault'.) The escape fires only when all 32*words window colors are
-        # banned, so max_nb+1 > 32*words never collides with a window color,
-        # and winner-uniqueness makes it conflict-free.
-        max_nb = common.undirected_value_pull(
-            graph, jnp.where(colors >= 0, colors, jnp.int32(-1)), "max")
-        escape = winner & (cand >= words * 32)
-        colors_new = jnp.where(keep, cand, colors)
-        colors_new = jnp.where(
-            escape, jnp.maximum(max_nb, jnp.int32(words * 32 - 1)) + 1,
-            colors_new)
-        changed = jnp.sum(keep | escape, dtype=jnp.int32)
-        return colors_new, rnd + 1, changed
+        # sliding window: zero keeps with vertices left means every
+        # remaining vertex's window is fully banned OR lost a conflict; a
+        # winner with a free color always keeps, so zero keeps implies every
+        # WINNER is saturated — advance the base (lossless for winners;
+        # non-winners that still had free low colors get them again when
+        # they win later... they cannot: base only moves forward. The
+        # trade-off is color-count inflation bounded by the conflict rate,
+        # accepted for constant program size at any chromatic number).
+        stall = (kept == 0) & (left > 0)
+        base_new = jnp.where(stall, base + win, base)
+        return colors_new, rnd + 1, base_new, left
 
     def cond(state):
-        _, rnd, changed = state
-        return (rnd < max_rounds) & (changed > 0)
+        _, rnd, _, left = state
+        return (rnd < max_rounds) & (left > 0)
 
-    colors, rounds, _ = jax.lax.while_loop(
-        cond, round_body, (colors0, jnp.int32(0), jnp.int32(1)))
+    colors, rounds, _, _ = jax.lax.while_loop(
+        cond, round_body,
+        (colors0, jnp.int32(0), jnp.int32(0),
+         jnp.sum(real, dtype=jnp.int32)))
     remaining = jnp.sum((colors == UNCOLORED) & real, dtype=jnp.int32)
     return colors, rounds, remaining
 
