@@ -132,12 +132,8 @@ def _cc_hybrid_run(graph: VGLGraph, hub, max_flood: int, max_iterations: int):
     def hbody(state):
         labels, _, it = state
         new = hook(labels)
-        new = jax.lax.cond(
-            it % 4 == 3,
-            lambda l: jnp.take(l, jnp.minimum(
-                jnp.take(l, jnp.minimum(l, v_pad - 1), mode="clip"),
-                v_pad - 1), mode="clip"),
-            lambda l: l, new)
+        # no pointer jumps: the flood covered the deep component, tails are
+        # shallow, and jumps are element gathers (~24 ns/elem here)
         new = jnp.where(reach, hub_label, new)     # frozen hub component
         new = jnp.where(real, new, jnp.int32(v))
         return new, labels, it + 1

@@ -824,12 +824,10 @@ def cc_hybrid_sharded_scan(sg: ShardedTileGraph, hub,
         m = jnp.minimum(jnp.where(real, m_in, BIGI),
                         jnp.where(real, m_out, BIGI))
         new = jnp.minimum(labels, m)
-        new = jax.lax.cond(
-            it % 4 == 3,
-            lambda l: jnp.take(l, jnp.minimum(
-                jnp.take(l, jnp.minimum(l, v_pad - 1), mode="clip"),
-                v_pad - 1), mode="clip"),
-            lambda l: l, new)
+        # NO pointer jumps here (unlike cc_sharded_scan): the flood already
+        # covered the only deep component, the tail components are shallow,
+        # and one jump pair costs ~300 ms of element gathers at scale-24
+        # (~9 ns/elem x 2 x 2^24 — docs/tpu_random_access.md)
         # the flooded component is already labeled: freeze it (its vertices
         # otherwise re-derive the component minimum over many iterations)
         new = jnp.where(reach, hub_label, new)
