@@ -8,12 +8,20 @@ import vectorgraphlibrary_tpu as vgl
 from vectorgraphlibrary_tpu.models import mf
 
 
+_PREP_CACHE = {}
+
+
 def _prep(ec, cfg):
-    dedup = ec.remove_self_loops_and_duplicates()
-    rng = np.random.default_rng(cfg.seed)
-    return vgl.EdgesContainer(
-        dedup.src_ids, dedup.dst_ids, dedup.vertices_count,
-        rng.integers(1, 100, dedup.edges_count).astype(np.float32))
+    # cache per (container, seed): mf.build_residual memoizes the imported
+    # 2e-arc routed graph ON the prepared container, so rounds must reuse it
+    key = (id(ec), cfg.seed)
+    if key not in _PREP_CACHE:
+        dedup = ec.remove_self_loops_and_duplicates()
+        rng = np.random.default_rng(cfg.seed)
+        _PREP_CACHE[key] = vgl.EdgesContainer(
+            dedup.src_ids, dedup.dst_ids, dedup.vertices_count,
+            rng.integers(1, 100, dedup.edges_count).astype(np.float32))
+    return _PREP_CACHE[key]
 
 
 def run_round(ec, graph, weights, source, cfg):

@@ -38,43 +38,77 @@ _BIG = jnp.int32(2**30)
 _EPS = 1e-6
 
 
-@functools.partial(jax.jit, static_argnums=(5,))
-def _ek_run(g2: VGLGraph, res0, arc_slot_in, arc_src_o, src_sink,
-            max_augmentations: int):
-    """Device Edmonds-Karp. res0: [2e] residual per arc (COO order);
-    arc_slot_in: int32 [e_pad2] arc id per incoming CSR slot (pad = BIG);
-    arc_src_o: int32 [2e] ORIGINAL source vertex of each arc."""
-    v, v_pad = g2.v, g2.v_pad
-    e2 = res0.shape[0]
-    source, sink = src_sink
+def build_residual(ec: EdgesContainer):
+    """Route-slot residual structure for the ROUTED Edmonds-Karp: import the
+    2e-arc graph WITH its Beneš route and precompute static per-slot maps
+    (arc source in GATHER ordering, reverse-arc slot). Cached on the
+    container instance — the structure is independent of source/sink, and
+    benchmark apps run many rounds over one container (the r3 design
+    re-imported per round AND ran BFS over the gather path, ~24 ns/arc/level
+    — which is what killed the scale-18 mf bench row)."""
+    cached = getattr(ec, "_mf_residual", None)
+    if cached is not None:
+        return cached
+    from ..graph.route_build import slot_map
+    v, e = ec.vertices_count, ec.edges_count
+    src2 = np.concatenate([ec.src_ids, ec.dst_ids]).astype(np.int32)
+    dst2 = np.concatenate([ec.dst_ids, ec.src_ids]).astype(np.int32)
+    host = []
+    g2 = import_graph(EdgesContainer(src2, dst2, v), _host_out=host,
+                      build_route=True, keep_edge_slots=True)
+    _, h_in = host
+    m, _ = slot_map(h_in)                     # coo arc -> incoming route slot
+    n = g2.advance_route.n
+    e2 = 2 * e
+    o2s = np.asarray(g2.incoming.orig_to_sorted)
+    src_g_slot = np.full(n, g2.v_pad, np.int32)
+    src_g_slot[m] = o2s[src2]
+    rev = np.concatenate([np.arange(e, e2), np.arange(0, e)])
+    rev_slot = np.zeros(n, np.int32)
+    rev_slot[m] = m[rev]
+    res0_slot = np.zeros(n, np.float32)
+    res0_slot[m[:e]] = ec.weights.astype(np.float32)
+    built = (g2, jnp.asarray(res0_slot), jnp.asarray(src_g_slot),
+             jnp.asarray(rev_slot))
+    ec._mf_residual = built
+    return built
+
+
+@functools.partial(jax.jit, static_argnums=(5, 6))
+def _ek_run_routed(g2: VGLGraph, res_slot0, src_g_slot, rev_slot, src_sink,
+                   max_augmentations: int, max_path: int):
+    """Routed device Edmonds-Karp: residual capacities LIVE in incoming
+    route-slot order, so the per-augmentation BFS is a fused min-pull whose
+    per-arc message is the arc's SLOT id (weight_op="max" with a zero source
+    value — int32-safe absorbing masking, unlike "add" whose int32-max +
+    w would wrap), and the path update is two sparse scatters over ≤max_path
+    slots. Zero per-arc gathers anywhere."""
+    from ..ops.advance import advance_pull_value
+    v_pad = g2.v_pad
+    n = res_slot0.shape[0]
     INF = jnp.iinfo(jnp.int32).max
-    sid_g = jnp.take(g2.incoming.orig_to_sorted, source)
-    tid_g = jnp.take(g2.incoming.orig_to_sorted, sink)
-    rev_idx = jnp.concatenate([jnp.arange(e2 // 2, e2, dtype=jnp.int32),
-                               jnp.arange(0, e2 // 2, dtype=jnp.int32)])
+    sid = jnp.take(g2.incoming.orig_to_sorted, src_sink[0])
+    tid = jnp.take(g2.incoming.orig_to_sorted, src_sink[1])
+    iota = jnp.arange(n, dtype=jnp.int32)
 
     def augment(state):
         res, total, aug, go = state
-        # per-arc BFS weights in incoming CSR slot order: arc id where the
-        # arc still has residual, BIG otherwise
-        res_slot = jnp.take(res, jnp.minimum(arc_slot_in, e2 - 1), mode="clip")
-        w_flat = jnp.where((arc_slot_in < e2) & (res_slot > _EPS),
-                           arc_slot_in, _BIG)
-        ev = _tile_values(jnp.concatenate([w_flat, jnp.array([_BIG])]),
-                          g2.incoming)
-
-        levels0 = jnp.full(v_pad, INF, jnp.int32).at[sid_g].set(1)
+        w = jnp.where(res > _EPS, iota, _BIG)
+        ev = DirectedEdgeValues(flat=w[:0], bucket_tiles=(), huge_tile=None,
+                                slot_flat=w)
+        levels0 = jnp.full(v_pad, INF, jnp.int32).at[sid].set(1)
         parent0 = jnp.full(v_pad, _BIG, jnp.int32)
 
         def bfs_cond(s):
             levels, parent, cur, grew = s
-            return grew & (levels[tid_g] == INF)
+            return grew & (levels[tid] == INF)
 
         def bfs_body(s):
             levels, parent, cur, _ = s
             on = levels == cur
-            cand = advance_pull(g2, {}, lambda sv, dv, w: w, "min",
-                                edge_values=ev, src_active=on, direction=G)
+            cand = advance_pull_value(g2, jnp.zeros(v_pad, jnp.int32), "min",
+                                      edge_values=ev, weight_op="max",
+                                      src_active=on, direction=G)
             newly = (levels == INF) & (cand < _BIG)
             return (jnp.where(newly, cur + 1, levels),
                     jnp.where(newly, cand, parent),
@@ -82,28 +116,30 @@ def _ek_run(g2: VGLGraph, res0, arc_slot_in, arc_src_o, src_sink,
 
         levels, parent_g, _, _ = jax.lax.while_loop(
             bfs_cond, bfs_body, (levels0, parent0, jnp.int32(1), True))
-        found = levels[tid_g] < INF
-        # parent arcs back in ORIGINAL vertex order for the path walk
-        parent_o = jnp.take(parent_g, g2.incoming.orig_to_sorted, mode="clip")
+        found = levels[tid] < INF
 
         def walk_cond(s):
-            u, b, mask = s
-            return u != source
+            i, u, b, slots = s
+            return (u != sid) & (i < max_path)
 
         def walk_body(s):
-            u, b, mask = s
-            arc = jnp.take(parent_o, u)
+            i, u, b, slots = s
+            arc = jnp.take(parent_g, u)
             b = jnp.minimum(b, jnp.take(res, arc))
-            mask = mask.at[arc].set(True)
-            return jnp.take(arc_src_o, arc), b, mask
+            slots = slots.at[i].set(arc)
+            return i + 1, jnp.take(src_g_slot, arc), b, slots
 
-        u0 = jnp.where(found, sink, source)
-        _, bottleneck, mask = jax.lax.while_loop(
+        u0 = jnp.where(found, tid, sid)
+        _, u_end, bottleneck, slots = jax.lax.while_loop(
             walk_cond, walk_body,
-            (u0, jnp.float32(jnp.inf), jnp.zeros(e2, bool)))
+            (jnp.int32(0), u0, jnp.float32(jnp.inf),
+             jnp.full(max_path, n, jnp.int32)))      # sentinel n -> dropped
+        found = found & (u_end == sid)
         bottleneck = jnp.where(found, bottleneck, 0.0)
-        delta = bottleneck * mask
-        res = res - delta + jnp.take(delta, rev_idx)
+        res = res.at[slots].add(-bottleneck, mode="drop")
+        rev_of = jnp.where(slots < n, jnp.take(rev_slot, slots,
+                                               mode="clip"), n)
+        res = res.at[rev_of].add(bottleneck, mode="drop")
         return res, total + bottleneck, aug + 1, found
 
     def cond(state):
@@ -111,33 +147,22 @@ def _ek_run(g2: VGLGraph, res0, arc_slot_in, arc_src_o, src_sink,
         return go & (aug < max_augmentations)
 
     _, total, aug, _ = jax.lax.while_loop(
-        cond, augment, (res0, jnp.float32(0.0), jnp.int32(0), True))
+        cond, augment, (res_slot0, jnp.float32(0.0), jnp.int32(0), True))
     return total, aug
 
 
 def vgl_ford_fulkerson(ec: EdgesContainer, graph: VGLGraph, source: int,
-                       sink: int, max_augmentations: int = 10_000) -> float:
+                       sink: int, max_augmentations: int = 10_000,
+                       max_path: int = 4096) -> float:
     """Edmonds-Karp max flow source→sink; returns the flow value.
     `graph` is unused (kept for the reference-shaped API); the residual-arc
-    graph is built here once (cites mf.hpp:5-50 for the BFS split)."""
-    v, e = ec.vertices_count, ec.edges_count
-    src2 = np.concatenate([ec.src_ids, ec.dst_ids]).astype(np.int32)
-    dst2 = np.concatenate([ec.dst_ids, ec.src_ids]).astype(np.int32)
-    host = []
-    g2 = import_graph(EdgesContainer(src2, dst2, v), _host_out=host,
-                      build_route=False, keep_edge_slots=True)
-    h_out, h_in = host
-    e2 = 2 * e
-    # incoming CSR slot -> arc id (static)
-    arc_slot_in = np.full(h_in.edges_pad, int(_BIG), np.int64)
-    arc_slot_in[:e2] = h_in.edge_perm[:e2]
-    res0 = np.concatenate([ec.weights.astype(np.float32),
-                           np.zeros(e, np.float32)])
-    total, aug = _ek_run(g2, jnp.asarray(res0),
-                         jnp.asarray(arc_slot_in, jnp.int32),
-                         jnp.asarray(src2),
-                         jnp.asarray([source, sink], jnp.int32),
-                         max_augmentations)
+    structure is built once per container (cites mf.hpp:5-50 for the BFS
+    split) and the whole algorithm runs as ONE device program."""
+    g2, res0, src_g_slot, rev_slot = build_residual(ec)
+    total, aug = _ek_run_routed(
+        g2, res0, src_g_slot, rev_slot,
+        jnp.asarray([source, sink], jnp.int32),
+        max_augmentations, max_path)
     return float(total)
 
 
