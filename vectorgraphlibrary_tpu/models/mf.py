@@ -157,7 +157,13 @@ def vgl_ford_fulkerson(ec: EdgesContainer, graph: VGLGraph, source: int,
     """Edmonds-Karp max flow source→sink; returns the flow value.
     `graph` is unused (kept for the reference-shaped API); the residual-arc
     structure is built once per container (cites mf.hpp:5-50 for the BFS
-    split) and the whole algorithm runs as ONE device program."""
+    split) and the whole algorithm runs as ONE device program.
+
+    max_path bounds the static augmenting-path walk buffer; EK paths are
+    shortest paths, so any path longer than max_path implies residual
+    diameter > 4096 — the walk then reports not-found and the loop stops
+    with the flow found so far (same contract as hitting
+    max_augmentations)."""
     g2, res0, src_g_slot, rev_slot = build_residual(ec)
     total, aug = _ek_run_routed(
         g2, res0, src_g_slot, rev_slot,
