@@ -125,9 +125,12 @@ def main():
     sync(msbfs_sharded_scan(sg, roots).astype(jnp.int32))
     t0 = time.perf_counter()
     lv32 = msbfs_sharded_scan(sg, roots)
+    sync(lv32.astype(jnp.int32))
+    dt = time.perf_counter() - t0
+    # TEPS accounting OUTSIDE the timed window (the float expansion +
+    # matvec is reporting work, not traversal)
     visited = (lv32 > 0).astype(jnp.float32)
     edges_traversed = float(jnp.sum(visited @ outdeg_o))
-    dt = time.perf_counter() - t0
     emit(f"bfs_do_rmat{SCALE}_gteps", edges_traversed / dt / 1e9, "GTEPS",
          roots=32, protocol="bit-parallel multi-source (MS-BFS), one or-pull "
          "scan per level serves all 32 roots",
@@ -152,8 +155,12 @@ def main():
     sync(cc_hybrid_sharded_scan(sg, jnp.int32(hub))[0].astype(jnp.int32))
     t0 = time.perf_counter()
     labels, flood_lv, hook_it = cc_hybrid_sharded_scan(sg, jnp.int32(hub))
-    ncomp = int(jnp.unique(labels[:sg.v]).shape[0])
+    sync(labels.astype(jnp.int32))
     dt = time.perf_counter() - t0
+    # component COUNTING is reporting, not CC work: jnp.unique on 16.7M
+    # labels costs seconds of host sort + tunnel transfer — it sat inside
+    # the timed window in the first r4 run and halved the reported MTEPS
+    ncomp = int(jnp.unique(labels[:sg.v]).shape[0])
     fl, hi = int(flood_lv), int(hook_it)
     emit(f"cc_sv_rmat{SCALE}_mteps", e / dt / 1e6, "MTEPS",
          components=ncomp, flood_levels=fl, hook_iters=hi,
