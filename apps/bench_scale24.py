@@ -122,15 +122,20 @@ def main():
     log("MS-BFS (32 roots, bit-parallel words) compile+warmup ...")
     rng = np.random.default_rng(24)
     roots = jnp.asarray(rng.integers(0, sg.v, 32).astype(np.int32))
-    sync(msbfs_sharded_scan(sg, roots).astype(jnp.int32))
+    warm = msbfs_sharded_scan(sg, roots)
+    sync(warm)
+    del warm
     t0 = time.perf_counter()
     lv32 = msbfs_sharded_scan(sg, roots)
-    sync(lv32.astype(jnp.int32))
+    sync(lv32)
     dt = time.perf_counter() - t0
-    # TEPS accounting OUTSIDE the timed window (the float expansion +
-    # matvec is reporting work, not traversal)
-    visited = (lv32 > 0).astype(jnp.float32)
-    edges_traversed = float(jnp.sum(visited @ outdeg_o))
+    # TEPS accounting OUTSIDE the timed window, one root row at a time —
+    # a [32, 2^24] float expansion is a 2 GB HBM spike next to the ~13 GB
+    # resident graph (an astype(int32) of the level matrix OOMed here)
+    edges_traversed = sum(
+        float(jnp.sum(jnp.where(lv32[r] > 0, outdeg_o, 0.0)))
+        for r in range(32))
+    del lv32
     emit(f"bfs_do_rmat{SCALE}_gteps", edges_traversed / dt / 1e9, "GTEPS",
          roots=32, protocol="bit-parallel multi-source (MS-BFS), one or-pull "
          "scan per level serves all 32 roots",
@@ -152,10 +157,10 @@ def main():
 
     log("CC (flood-hybrid) compile+warmup ...")
     hub = int(np.argmax(np.where(rev > 0, 1.0 / np.maximum(rev, 1e-12), 0.0)))
-    sync(cc_hybrid_sharded_scan(sg, jnp.int32(hub))[0].astype(jnp.int32))
+    sync(cc_hybrid_sharded_scan(sg, jnp.int32(hub))[0])
     t0 = time.perf_counter()
     labels, flood_lv, hook_it = cc_hybrid_sharded_scan(sg, jnp.int32(hub))
-    sync(labels.astype(jnp.int32))
+    sync(labels)
     dt = time.perf_counter() - t0
     # component COUNTING is reporting, not CC work: jnp.unique on 16.7M
     # labels costs seconds of host sort + tunnel transfer — it sat inside
