@@ -1,4 +1,11 @@
-"""Round-4 design experiments on the real TPU (scale-20 graph, one session):
+"""Round-4 design experiments on the real TPU (scale-20 graph, one session).
+
+CAVEAT (learned the hard way): `timeit` here measures ONE dispatch per call,
+so every sub-30 ms result is swamped by the ~28 ms tunnel round-trip — only
+the MS-BFS wall and the >30 ms deltas are meaningful. For ms-level ops use
+apps/ubench_prims.py's pattern (K reps inside one jitted fori_loop).
+
+Experiments:
 
 1. MS-BFS (bit-parallel 32/64 roots) wall + per-level or-pull costs
 2. bool vs int32-word or-pull per call
