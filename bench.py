@@ -220,7 +220,9 @@ def main():
         _sync(sssp.vgl_dijkstra_multi(gr, ear, srcs_m).values)
         dt = (time.perf_counter() - t0) / k_src
         emit(f"sssp_{name}_mteps", ecr.edges_count / dt / 1e6, "MTEPS",
-             sources=k_src, protocol="k partial-active runs in one dispatch")
+             sources=k_src, protocol="k SSSP runs in one dispatch "
+             "(all-active iterations below the size crossover — "
+             "models/sssp.vgl_dijkstra_multi)")
 
         rngh = np.random.default_rng(3)
         hubs_w = rngh.integers(0, ecr.vertices_count, 8).tolist()

@@ -248,19 +248,40 @@ def _sssp_partial_multi(graph, w_in, w_out, sids, id_cap: int, edge_cap: int):
                                        edge_cap)[0], sids)
 
 
+@jax.jit
+def _sssp_aa_multi(graph, w_in, sids):
+    dist0 = jnp.full(graph.v_pad, jnp.inf, jnp.float32)
+    return jax.lax.map(
+        lambda s: _all_active_run(graph, w_in, s, dist0, 10_000)[0], sids)
+
+
+# all-active beats partial-active below this edge count: one pull per
+# iteration with zero compaction/switch machinery — work-efficiency only
+# pays once the full-graph sweep costs more than the frontier bookkeeping
+# (~1 ms of fixed per-iteration cost, docs/tpu_random_access.md)
+_AA_EDGE_THRESHOLD = 1 << 22
+
+
 def vgl_dijkstra_multi(graph: VGLGraph, weights: EdgeArray, source_vertices,
-                       id_cap: int = 1 << 12, edge_cap: int = 1 << 16
-                       ) -> VertexArray:
-    """k independent partial-active SSSP runs in ONE device program — the
-    multi-root batch protocol (mirrors bfs.vgl_bfs_device_multi): on a
-    tunneled TPU the ~28 ms per-dispatch round-trip amortizes across the
-    batch, so small-graph benchmarks measure kernels, not dispatch.
+                       id_cap: int = 1 << 12, edge_cap: int = 1 << 16,
+                       all_active: Optional[bool] = None) -> VertexArray:
+    """k independent SSSP runs in ONE device program — the multi-root batch
+    protocol (mirrors bfs.vgl_bfs_device_multi): on a tunneled TPU the
+    ~28 ms per-dispatch round-trip amortizes across the batch, so
+    small-graph benchmarks measure kernels, not dispatch. Picks all-active
+    iterations for small graphs (see _AA_EDGE_THRESHOLD) and the tiered
+    partial-active work frontier for large ones; `all_active` overrides.
     Returns dist [k, v_pad] in GATHER ordering."""
     sids = jnp.take(graph.incoming.orig_to_sorted,
                     jnp.asarray(source_vertices, jnp.int32))
-    ec2 = min(common.next_pow2(max(graph.e, 8)), edge_cap)
-    dist = _sssp_partial_multi(graph, weights.incoming, weights.outgoing,
-                               sids, min(id_cap, graph.v_pad), ec2)
+    if all_active is None:
+        all_active = graph.e < _AA_EDGE_THRESHOLD
+    if all_active:
+        dist = _sssp_aa_multi(graph, weights.incoming, sids)
+    else:
+        ec2 = min(common.next_pow2(max(graph.e, 8)), edge_cap)
+        dist = _sssp_partial_multi(graph, weights.incoming, weights.outgoing,
+                                   sids, min(id_cap, graph.v_pad), ec2)
     return VertexArray(values=dist, direction=G)
 
 
