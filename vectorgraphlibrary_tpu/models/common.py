@@ -71,31 +71,3 @@ def undirected_value_pull(graph: VGLGraph, vec_orig, combine):
     via_out_o = to_direction(graph, via_out, TraversalDirection.SCATTER,
                              TraversalDirection.ORIGINAL)
     return mon.combine(via_in_o, via_out_o)
-
-
-def undirected_pull(graph: VGLGraph, arrays_orig: dict, edge_op, combine,
-                    mon_combine=None):
-    """Aggregate edge messages over the UNDIRECTED neighborhood, in ORIGINAL
-    ordering: combines a pull over incoming edges with a pull over outgoing edges.
-    arrays_orig values are [v_pad] in ORIGINAL ordering."""
-    import jax.numpy as jnp
-    from ..ops.advance import advance_pull_fast
-    from ..ops import monoid as M
-    mon = M.get(combine)
-
-    arrs_g = {k: to_direction(graph, a, TraversalDirection.ORIGINAL,
-                              TraversalDirection.GATHER)
-              for k, a in arrays_orig.items()}
-    via_in = advance_pull_fast(graph, arrs_g, edge_op, combine,
-                               direction=TraversalDirection.GATHER)
-    via_in_o = to_direction(graph, via_in, TraversalDirection.GATHER,
-                            TraversalDirection.ORIGINAL)
-
-    arrs_s = {k: to_direction(graph, a, TraversalDirection.ORIGINAL,
-                              TraversalDirection.SCATTER)
-              for k, a in arrays_orig.items()}
-    via_out = advance_pull_fast(graph, arrs_s, edge_op, combine,
-                                direction=TraversalDirection.SCATTER)
-    via_out_o = to_direction(graph, via_out, TraversalDirection.SCATTER,
-                             TraversalDirection.ORIGINAL)
-    return mon.combine(via_in_o, via_out_o)

@@ -271,16 +271,6 @@ def make_hits_sharded(sg: ShardedTileGraph, mesh, iterations: int = 20):
     return _smap(mesh, body_fn, 0, n_outs=2)
 
 
-def _shard_pull_arrays_original(g, arrays_o, edge_op, combine, direction=G):
-    """Generic multi-array shard pull in ORIGINAL ordering (for edge ops the
-    restricted advance can't express, e.g. coloring's priority test)."""
-    from ..ops.advance import advance_pull_fast
-    arrs = {k: common.to_direction(g, a, O, direction)
-            for k, a in arrays_o.items()}
-    out = advance_pull_fast(g, arrs, edge_op, combine, direction=direction)
-    return common.to_direction(g, out, direction, O)
-
-
 def make_coloring_sharded(sg: ShardedTileGraph, mesh, seed: int = 0,
                           words: int = 4, max_rounds: int = 10_000):
     """Distributed Jones-Plassmann greedy coloring (reference
