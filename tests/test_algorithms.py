@@ -183,6 +183,25 @@ def test_cc_hybrid_matches_oracle(setup):
         assert verify.equal_components(row, want) == 0, i
 
 
+def test_cc_hybrid_flood_nonclosure_is_correct():
+    """Regression (ADVICE r4): a component deeper than max_flood must NOT be
+    split — an uncapped flood would freeze a strict subset of the hub's
+    component at hub_label while the rest hook-mins to a smaller id. Path
+    graph of 60 vertices + a separate triangle, max_flood=5."""
+    from vectorgraphlibrary_tpu.graph.device import import_graph
+    from vectorgraphlibrary_tpu.io.edges_container import EdgesContainer
+    from vectorgraphlibrary_tpu.models import cc as ccm
+    n = 60
+    src = np.concatenate([np.arange(n - 1), [n, n + 1, n + 2]]).astype(np.int32)
+    dst = np.concatenate([np.arange(1, n), [n + 1, n + 2, n]]).astype(np.int32)
+    ec = EdgesContainer(src, dst, n + 3)
+    g = import_graph(ec)
+    want = ccm.seq_cc(ec)
+    got, _ = ccm.vgl_cc_hybrid(g, hub=n // 2, max_flood=5)
+    assert verify.equal_components(
+        vgl.as_original_numpy(got, g)[:ec.vertices_count], want) == 0
+
+
 def test_sssp_partial_equals_all_active(setup_ru):
     ec, g, ea = setup_ru
     src = common.select_random_source(ec, seed=7)

@@ -86,6 +86,8 @@ def compact_ids(frontier: Frontier, capacity: int) -> tuple[jax.Array, jax.Array
     idx = jnp.arange(v_pad, dtype=jnp.int32)
     keys = jnp.where(frontier.mask, idx, jnp.int32(v_pad))
     ids = jax.lax.sort(keys)[:capacity]
+    if capacity > v_pad:      # keep ids capacity-long like the scatter form
+        ids = jnp.pad(ids, (0, capacity - v_pad), constant_values=v_pad)
     # overflow contract matches the scatter form: ids beyond `capacity` drop
     ids = jnp.where(ids < v_pad, ids, jnp.int32(v_pad))
     valid = jnp.arange(capacity, dtype=jnp.int32) < frontier.size

@@ -44,11 +44,12 @@ def _pack_directed(prefix: str, dg: DeviceDirectedGraph, out: dict) -> None:
             [h.chunk_w, h.n_rows, h.n_chunks, h.n_chunks_pad])
 
 
-def _unpack_directed(prefix: str, z) -> DeviceDirectedGraph:
+def _unpack_directed(prefix: str, z, conv=None) -> DeviceDirectedGraph:
+    conv = conv or jnp.asarray
     v, v_pad, e, e_pad, nb, has_huge = z[f"{prefix}.meta"].tolist()
 
     def opt(key):
-        return jnp.asarray(z[key]) if key in z else None
+        return conv(z[key]) if key in z else None
     buckets = []
     for i in range(nb):
         w, rs, r, rp = z[f"{prefix}.b{i}.meta"].tolist()
@@ -60,7 +61,7 @@ def _unpack_directed(prefix: str, z) -> DeviceDirectedGraph:
         cw, nr, nc, ncp = z[f"{prefix}.huge.meta"].tolist()
         huge = HugeTile(adj=opt(f"{prefix}.huge.adj"),
                         eidx=opt(f"{prefix}.huge.eidx"),
-                        seg_ids=jnp.asarray(z[f"{prefix}.huge.seg_ids"]),
+                        seg_ids=conv(z[f"{prefix}.huge.seg_ids"]),
                         chunk_w=cw, n_rows=nr, n_chunks=nc, n_chunks_pad=ncp)
     return DeviceDirectedGraph(
         row_ptr=opt(f"{prefix}.row_ptr"),
@@ -86,28 +87,32 @@ def _pack_route(prefix: str, plan, out: dict) -> None:
                                         1 if plan.has_flags else 0])
 
 
-def _unpack_route(prefix: str, z):
+def _unpack_route(prefix: str, z, conv=None):
     import jax
+    conv = conv or jnp.asarray
     meta = z[f"{prefix}.meta"].tolist()
     n, levels, kb, kq, has_flags = (meta if len(meta) == 5
                                     else meta + [0, 0, 0])
-    mid = (jnp.asarray(z[f"{prefix}.mid_words"])
+    mid = (conv(z[f"{prefix}.mid_words"])
            if f"{prefix}.mid_words" in z else None)
-    big = (jnp.asarray(z[f"{prefix}.big_words"])
+    big = (conv(z[f"{prefix}.big_words"])
            if f"{prefix}.big_words" in z else None)
     # graphs BUILT on a CPU host carry the stage-by-stage XLA-path arrays
     # (in/out bitmasks + forward lane shuffle); a TPU loading a fused plan
     # never reads them — dropping here is what lets the 2x2^28-slot scale-24
-    # shards fit one 16 GB chip (~2.2 GB/shard of dead mask data otherwise)
-    slim = mid is not None and jax.default_backend() in ("tpu", "axon")
+    # shards fit one 16 GB chip (~2.2 GB/shard of dead mask data otherwise).
+    # numpy mode (conv=np.asarray, streaming loader) drops them too: the
+    # stream path only ever device_puts the fused arrays.
+    slim = mid is not None and (conv is not jnp.asarray
+                                or jax.default_backend() in ("tpu", "axon"))
     def opt(key):
         if slim:
             return None
-        return jnp.asarray(z[key]) if key in z else None
+        return conv(z[key]) if key in z else None
     return RoutePlan(in_masks=opt(f"{prefix}.in_masks"),
                      out_masks=opt(f"{prefix}.out_masks"),
                      lane_idx=opt(f"{prefix}.lane_idx"),
-                     lane_inv=jnp.asarray(z[f"{prefix}.lane_inv"]),
+                     lane_inv=conv(z[f"{prefix}.lane_inv"]),
                      mid_words=mid, big_words=big,
                      n=n, levels=levels, kb=kb, kq=kq,
                      has_flags=bool(has_flags))
@@ -134,16 +139,20 @@ def save_graph_to_binary_file(graph: VGLGraph, path: str,
     (np.savez_compressed if compressed else np.savez)(path, **out)
 
 
-def load_graph_from_binary_file(path: str) -> VGLGraph:
+def load_graph_from_binary_file(path: str, as_numpy: bool = False) -> VGLGraph:
+    """as_numpy=True keeps every leaf a host numpy array (no device_put) —
+    the streaming executor (parallel/streaming.py) loads shards this way and
+    ships them to HBM one at a time per sweep."""
     z = np.load(path)
+    conv = np.asarray if as_numpy else jnp.asarray
     v, v_pad, e, out_slots, in_slots = z["meta"].tolist()
-    route = _unpack_route("route", z) if "route.meta" in z else None
-    vroutes = {attr: (_unpack_route(prefix, z)
+    route = _unpack_route("route", z, conv) if "route.meta" in z else None
+    vroutes = {attr: (_unpack_route(prefix, z, conv)
                       if f"{prefix}.meta" in z else None)
                for prefix, attr in _VROUTES}
     return VGLGraph(
-        outgoing=_unpack_directed("out", z),
-        incoming=_unpack_directed("in", z),
+        outgoing=_unpack_directed("out", z, conv),
+        incoming=_unpack_directed("in", z, conv),
         advance_route=route, **vroutes,
         v=v, v_pad=v_pad, e=e, out_slots=out_slots, in_slots=in_slots,
         graph_format=GraphFormat.parse(str(z["format"][0])))
@@ -163,6 +172,27 @@ def save_sharded_graph(sg, path_prefix: str, compressed: bool = False) -> None:
                    "e": sg.e,
                    "edges_per_shard":
                        np.asarray(sg.edges_per_shard).tolist()}, f)
+
+
+def save_sharded_weights(slot_weights, path_prefix: str) -> None:
+    """Persist per-shard INCOMING route-slot weight arrays (f32 [n] each) as
+    `{prefix}.weights{s}.npy` — real per-edge values riding the same
+    persistence path as the graph (VERDICT r4 #2; reference bar:
+    edges_array.h:9-63). Slot order = route_build.slot_map(h_in), the order
+    the fused GATHER finish consumes."""
+    for s, w in enumerate(slot_weights):
+        np.save(f"{path_prefix}.weights{s}.npy", np.asarray(w))
+
+
+def load_sharded_weights(path_prefix: str, n_shards: int,
+                         as_numpy: bool = False):
+    """Load per-shard incoming slot weights; returns a list of [n] arrays
+    (numpy) or one stacked jnp [S, n] array."""
+    ws = [np.load(f"{path_prefix}.weights{s}.npy", mmap_mode="r")
+          for s in range(n_shards)]
+    if as_numpy:
+        return ws
+    return jnp.stack([jnp.asarray(np.asarray(w)) for w in ws])
 
 
 def load_sharded_graph(path_prefix: str):

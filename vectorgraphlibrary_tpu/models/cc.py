@@ -107,12 +107,19 @@ def _cc_hybrid_run(graph: VGLGraph, hub, max_flood: int, max_iterations: int):
         newly = und_or(frontier) & ~reach & real
         return reach | newly, newly, lv + 1
 
-    reach, _, flood_lv = jax.lax.while_loop(
+    reach, front_end, flood_lv = jax.lax.while_loop(
         fcond, fbody, (reach0, reach0, jnp.int32(0)))
+
+    # non-closure guard: if the flood hit max_flood with a live frontier
+    # (component diameter > max_flood — path/road-like graphs), `reach` is a
+    # strict SUBSET of the hub's component; freezing it would split one
+    # component into two labels. Freeze only when the flood closed; otherwise
+    # phase B degrades to a plain (correct, slower) hook-min over everything.
+    freeze = reach & ~jnp.any(front_end)
 
     BIGI = jnp.int32(jnp.iinfo(jnp.int32).max)
     hub_label = hub.astype(jnp.int32)
-    labels0 = jnp.where(reach, hub_label, ids)
+    labels0 = jnp.where(freeze, hub_label, ids)
     labels0 = jnp.where(real, labels0, jnp.int32(v))
 
     def hook(labels):
@@ -134,7 +141,7 @@ def _cc_hybrid_run(graph: VGLGraph, hub, max_flood: int, max_iterations: int):
         new = hook(labels)
         # no pointer jumps: the flood covered the deep component, tails are
         # shallow, and jumps are element gathers (~24 ns/elem here)
-        new = jnp.where(reach, hub_label, new)     # frozen hub component
+        new = jnp.where(freeze, hub_label, new)    # frozen hub component
         new = jnp.where(real, new, jnp.int32(v))
         return new, labels, it + 1
 

@@ -20,6 +20,7 @@ is one jitted program over a static residual-arc graph:
 from __future__ import annotations
 
 import functools
+from typing import Optional
 
 import jax
 import jax.numpy as jnp
@@ -153,17 +154,19 @@ def _ek_run_routed(g2: VGLGraph, res_slot0, src_g_slot, rev_slot, src_sink,
 
 def vgl_ford_fulkerson(ec: EdgesContainer, graph: VGLGraph, source: int,
                        sink: int, max_augmentations: int = 10_000,
-                       max_path: int = 4096) -> float:
+                       max_path: Optional[int] = None) -> float:
     """Edmonds-Karp max flow source→sink; returns the flow value.
     `graph` is unused (kept for the reference-shaped API); the residual-arc
     structure is built once per container (cites mf.hpp:5-50 for the BFS
     split) and the whole algorithm runs as ONE device program.
 
-    max_path bounds the static augmenting-path walk buffer; EK paths are
-    shortest paths, so any path longer than max_path implies residual
-    diameter > 4096 — the walk then reports not-found and the loop stops
-    with the flow found so far (same contract as hitting
-    max_augmentations)."""
+    max_path bounds the static augmenting-path walk buffer. It defaults to
+    the VERTEX COUNT: EK augmenting paths are BFS-shortest, so ≤ v-1 arcs —
+    the bound genuinely cannot be exceeded and the result is never silently
+    truncated (a caller-supplied smaller cap re-enables the early-stop
+    contract, same as hitting max_augmentations)."""
+    if max_path is None:
+        max_path = max(int(ec.vertices_count), 16)
     g2, res0, src_g_slot, rev_slot = build_residual(ec)
     total, aug = _ek_run_routed(
         g2, res0, src_g_slot, rev_slot,
