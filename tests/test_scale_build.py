@@ -80,6 +80,48 @@ def test_msbfs_and_cc_on_artifact(built):
                                    ccm.seq_cc(ec)) == 0
 
 
+def test_streaming_matches_scan_and_oracle(built):
+    """The streaming executor (parallel/streaming.py — the out-of-HBM path
+    that runs the RMAT-25 tier) must agree with the scan path / oracles on
+    the same artifact: PR, MS-BFS, CC, stored-weight SSSP."""
+    from vectorgraphlibrary_tpu.parallel import streaming
+    prefix, ec = built
+    ssg = streaming.load_streamed(prefix, weights=True)
+    assert ssg.n_shards == SHARDS and ssg.e == ec.edges_count
+
+    z = np.load(f"{prefix}.prconsts.npz")
+    rev, dmask = z["rev"], z["dmask"]
+    pad = ssg.v_pad - len(rev)
+    ranks = np.asarray(streaming.pagerank_streamed(
+        ssg, np.pad(rev, (0, pad)), np.pad(dmask, (0, pad)), iterations=25))
+    want_pr = prm.seq_page_rank(ec, max_iterations=25, use_convergence=False)
+    np.testing.assert_allclose(ranks[:ssg.v], want_pr, atol=1e-6)
+
+    roots = np.arange(32, dtype=np.int32) * 5 + 2
+    lv, _ = streaming.msbfs_streamed(ssg, roots)
+    lv = np.asarray(lv)
+    for r in (0, 31):
+        want = bfsm.seq_top_down(ec, int(roots[r]))
+        np.testing.assert_array_equal(lv[r, :ssg.v].astype(np.int32), want)
+
+    hub = int(np.argmax(np.bincount(ec.src_ids, minlength=ssg.v)))
+    labels, fl, hi = streaming.cc_hybrid_streamed(ssg, hub)
+    assert verify.equal_components(np.asarray(labels)[:ssg.v],
+                                   ccm.seq_cc(ec)) == 0
+    assert fl >= 1
+
+    dist, it = streaming.sssp_streamed(ssg, 5)
+    want = ssspm.seq_dijkstra(ec, 5)
+    assert verify.verify_results(np.asarray(dist)[:ssg.v], want) == 0
+    assert it >= 2
+
+    auth, hubv = streaming.hits_streamed(ssg, iterations=5)
+    from vectorgraphlibrary_tpu.models import hits as hitsm
+    wa, wh = hitsm.seq_hits(ec, iterations=5)
+    np.testing.assert_allclose(np.asarray(auth)[:ssg.v], wa, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(hubv)[:ssg.v], wh, atol=1e-4)
+
+
 def test_stored_weight_sssp_matches_oracle(built):
     """The headline ask: SSSP whose weights round-trip from disk equals the
     sequential oracle on the generator's ORIGINAL per-edge weights."""
