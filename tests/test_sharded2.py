@@ -213,3 +213,42 @@ def test_sharded_sage_train_step_learns(setup):
         losses.append(float(loss))
     assert np.isfinite(losses).all()
     assert losses[-1] < losses[0]                # it learns
+
+
+# ---------------------------------------------------------------------------
+# r5: distributed MS-BFS + flood-hybrid CC == their single-chip scan twins
+# (VERDICT r4 #5 — the kernels carrying the headline numbers get multi-chip
+# paths, asserted equal on the 8-device mesh)
+# ---------------------------------------------------------------------------
+
+def test_msbfs_sharded_matches_scan(setup):
+    ec, sg, hosts, mesh = setup
+    rng = np.random.default_rng(11)
+    roots = jnp.asarray(np.array(
+        [common.select_random_source(ec, seed=int(s))
+         for s in rng.integers(0, 1000, 32)], np.int32))
+    fn = sharded.make_msbfs_sharded(sg, mesh)
+    lv_dist = np.asarray(fn(sg.stacked, roots))
+    lv_scan = np.asarray(sharded.msbfs_sharded_scan(sg, roots))
+    np.testing.assert_array_equal(lv_dist, lv_scan)
+    # and against the sequential oracle for a few packed roots
+    for r in (0, 15, 31):
+        want = bfsm.seq_top_down(ec, int(roots[r]))
+        np.testing.assert_array_equal(
+            lv_dist[r, :sg.v].astype(np.int32), want)
+
+
+def test_cc_hybrid_sharded_matches_scan(setup):
+    from vectorgraphlibrary_tpu.models import cc as ccm
+    ec, sg, hosts, mesh = setup
+    outdeg = np.bincount(ec.src_ids, minlength=sg.v)
+    fn = sharded.make_cc_hybrid_sharded(sg, mesh)
+    want = ccm.seq_cc(ec)
+    for hub in (int(np.argmax(outdeg)), 23):
+        labels, fl, hk = fn(sg.stacked, jnp.int32(hub))
+        got = np.asarray(labels)[:sg.v]
+        assert verify.equal_components(got, want) == 0, hub
+        l_scan, fl_s, hk_s = sharded.cc_hybrid_sharded_scan(
+            sg, jnp.int32(hub))
+        np.testing.assert_array_equal(got, np.asarray(l_scan)[:sg.v])
+        assert int(fl) == int(fl_s)

@@ -48,6 +48,16 @@ def run_dryrun(n_devices: int) -> None:
                                          edge_cap=1 << 12)
     lv = do_bfs(sg.stacked, jnp.int32(0))
     assert int(jnp.sum(lv > 0)) >= 1
+    # the r4 headline kernels, distributed (VERDICT r4 #5): bit-parallel
+    # MS-BFS (or-pull + pmax-word merge) and flood-hybrid CC
+    msbfs_fn = sharded.make_msbfs_sharded(sg, flat_mesh)
+    roots32 = jnp.arange(32, dtype=jnp.int32)
+    lv32 = msbfs_fn(sg.stacked, roots32)
+    assert lv32.shape == (32, sg.v_pad)
+    assert int(jnp.sum(lv32 > 0)) >= 32
+    cc_h = sharded.make_cc_hybrid_sharded(sg, flat_mesh)
+    cl, cfl, chk = cc_h(sg.stacked, jnp.int32(0))
+    assert cl.shape == (sg.v_pad,) and int(cfl) >= 1
     # distributed GraphSAGE train step (BASELINE config 5); optional — the
     # traversal dryrun must not fail on installations without optax
     try:
@@ -72,7 +82,7 @@ def run_dryrun(n_devices: int) -> None:
         params, _, loss = gstep(params, opt.init(params), feats, labels,
                                 tmask)
         assert bool(jnp.isfinite(loss))
-    jax.block_until_ready((ranks, levels, dist, dist_p, lv, loss))
+    jax.block_until_ready((ranks, levels, dist, dist_p, lv, lv32, cl, loss))
 
     # ---- the 2-D (edge x vertex) COO fallback path ----
     n_v = 2 if n_devices % 2 == 0 and n_devices >= 2 else 1
