@@ -31,8 +31,17 @@ TIERS = {
     "small": [("rmat", 14, 16), ("ru", 14, 16)],
     "medium": [("rmat", 18, 32)],
     "large": [("rmat", 20, 32)],
+    # past scale-20 (VERDICT r4 #1): scale-22 runs through the in-process
+    # import (~15 min of host preprocessing per app — the tier's timeout
+    # accounts for it); the scale-24/25 configs run through the PERSISTED
+    # sharded artifacts instead (apps/bench_scale24.py, apps/bench_scale25.py
+    # + apps/build_scale25.py) because their imports are hour-scale and
+    # their execution model (lax.scan residency / host streaming) differs
+    # from the per-app CLI path.
+    "xlarge": [("rmat", 22, 16)],
 }
 DEFAULT_TIMEOUT = 600
+TIER_TIMEOUTS = {"xlarge": 3600}
 
 
 FORCE_CPU = False
@@ -176,6 +185,8 @@ def main():
     REAL_FILTER = args.real.split(",") if args.real else None
     if args.apps:
         APPS = args.apps.split(",")
+    if (args.timeout == DEFAULT_TIMEOUT and args.tier in TIER_TIMEOUTS):
+        args.timeout = TIER_TIMEOUTS[args.tier]
     rows = []
     ok = True
     if args.verify:

@@ -6,7 +6,9 @@ vs_baseline tracking). All lines are also written to bench_results.json.
 
 Metrics (BASELINE.md targets):
 - pagerank_rmat18_mteps : PR power iterations, MTEPS = e*iters/time
-- bfs_do_rmat20_gteps   : device-resident direction-optimizing BFS,
+- bfs_msbfs_rmat20_gteps: bit-parallel multi-source BFS, aggregate
+                          traversed-edge GTEPS over 64 roots (median of 3)
+- bfs_do_rmat20_gteps   : device-resident per-root direction-optimizing BFS,
                           GTEPS = e/time per traversal (graph500 style)
 - sssp_rmat20_mteps     : all-active Bellman-Ford to fixpoint, MTEPS = e/time
 - cc_sv_rmat20_mteps    : Shiloach-Vishkin to fixpoint, MTEPS = e/time
@@ -43,6 +45,15 @@ def _bench(fn, _ignored=None):
     out = fn()
     _sync(out)
     return time.perf_counter() - t0
+
+
+def _median3(run):
+    """Median-of-3 with spread (VERDICT r4 #9: tunnel variance up to ~2.5x
+    makes best-of-N overstate; median + recorded spread is honest). `run`
+    executes one timed trial and returns seconds."""
+    ts = sorted(run() for _ in range(3))
+    return ts[1], {"spread_min_s": round(ts[0], 3),
+                   "spread_max_s": round(ts[2], 3), "trials": 3}
 
 
 def main():
@@ -103,35 +114,47 @@ def main():
     _sync(bfs.vgl_msbfs(g20, warm).values)
     roots_ms = [common.select_random_source(ec20, seed=500 + s)
                 for s in range(k_ms)]
-    # best of 2: tunnel round-trip variance measured up to 2.5x on this row
-    dt = 1e9
-    for _ in range(2):
+    lv_ms = None
+
+    def _run_ms():
+        nonlocal lv_ms
         t0 = time.perf_counter()
         lv_ms = bfs.vgl_msbfs(g20, roots_ms).values
         _sync(lv_ms)
-        dt = min(dt, time.perf_counter() - t0)
+        return time.perf_counter() - t0
+
+    # r5 rename (VERDICT r4 #3a / ADVICE): this row is bit-parallel
+    # MULTI-SOURCE BFS aggregate TEPS — `bfs_msbfs_*`, median-of-3 with
+    # spread; `bfs_do_*` below is the per-root direction-optimizing protocol
+    # the reference flagships (hardwired_do_bfs.hpp:925-990)
+    dt, spread = _median3(_run_ms)
     outdeg_f = g20.outgoing.degrees.astype(jnp.float32)
     edges_tr = float(jnp.sum((lv_ms > 0).astype(jnp.float32) @ outdeg_f))
-    emit(f"bfs_do_rmat{s20}_gteps", edges_tr / dt / 1e9, "GTEPS",
+    emit(f"bfs_msbfs_rmat{s20}_gteps", edges_tr / dt / 1e9, "GTEPS",
          scale=s20, avg_degree=d20, roots=k_ms,
          protocol="bit-parallel multi-source (MS-BFS): 32 roots/int32 word, "
          "one or-pull per level serves all roots in a word",
-         edges_traversed=int(edges_tr))
+         edges_traversed=int(edges_tr), **spread)
     del lv_ms
 
-    # secondary row: the same multi-root batch run as k SEQUENTIAL
-    # direction-optimizing traversals in one device program (the r3 protocol)
+    # per-root direction-optimizing BFS — k SEQUENTIAL DO traversals in one
+    # device program, per-traversal rate (the reference's protocol)
     k_roots = 8
     warm = [common.select_random_source(ec20, seed=s) for s in range(k_roots)]
     _sync(bfs.vgl_bfs_device_multi(g20, warm).values)
     roots = [common.select_random_source(ec20, seed=100 + s)
              for s in range(k_roots)]
-    t0 = time.perf_counter()
-    _sync(bfs.vgl_bfs_device_multi(g20, roots).values)
-    dt = (time.perf_counter() - t0) / k_roots
-    emit(f"bfs_do_seq_rmat{s20}_gteps", ec20.edges_count / dt / 1e9, "GTEPS",
+
+    def _run_do():
+        t0 = time.perf_counter()
+        _sync(bfs.vgl_bfs_device_multi(g20, roots).values)
+        return time.perf_counter() - t0
+
+    dt, spread = _median3(_run_do)
+    dt /= k_roots
+    emit(f"bfs_do_rmat{s20}_gteps", ec20.edges_count / dt / 1e9, "GTEPS",
          scale=s20, avg_degree=d20, roots=k_roots,
-         protocol="sequential per-root DO-BFS state machine")
+         protocol="sequential per-root DO-BFS state machine", **spread)
     sources = roots
 
     sssp.vgl_dijkstra_all_active(g20, ea20, sources[1])      # warmup/compile
@@ -172,7 +195,19 @@ def main():
 
     # per-primitive roofline evidence: measured GB/s (explicit bytes model,
     # prim_profile.py header) vs the 819 GB/s v5e HBM roofline — recorded in
-    # the BENCH artifact, not just the apps' stdout table
+    # the BENCH artifact, not just the apps' stdout table.
+    # r5 (VERDICT r4 #9): re-measure the stream peak ADJACENT to the prim
+    # block (median of 3) so measured_peak_pct compares within one tunnel
+    # session — the r4 rows used a peak from minutes earlier and one prim
+    # reported 114.5% of it.
+    xbw = jnp.ones((1 << 26,), jnp.float32)
+    _sync(fbw(xbw))
+    dt, _ = _median3(lambda: _bench(lambda: fbw(xbw)))
+    peak_adj_gbs = 2 * (1 << 26) * 4 * 20 / dt / 1e9
+    emit("machine_peak_stream_adjacent_gbs", peak_adj_gbs, "GB/s",
+         note="stream peak re-measured immediately before the prim block "
+         "(median of 3) — the denominator for measured_peak_pct")
+    del xbw
     from vectorgraphlibrary_tpu.runtime.prim_profile import (
         profile_graph_primitives)
     from vectorgraphlibrary_tpu.runtime.perf_stats import PerformanceStats
@@ -185,7 +220,7 @@ def main():
                 .replace("+", ""))
         emit(f"prim_{slug}_gbs", gbps, "GB/s",
              roofline_pct=round(100 * gbps / st.hbm_roofline_gbps, 1),
-             measured_peak_pct=round(100 * gbps / max(peak_gbs, 1e-9), 1),
+             measured_peak_pct=round(100 * gbps / max(peak_adj_gbs, 1e-9), 1),
              ms=round(s.wall_s * 1e3 / max(s.calls, 1), 3))
     del g20, ea20, ec20
 

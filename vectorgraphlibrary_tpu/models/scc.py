@@ -69,16 +69,58 @@ def _reach_step(graph: VGLGraph, reach_o: jax.Array, active_o: jax.Array,
     return reach_o | (via_o & active_o)
 
 
-def _flood(graph: VGLGraph, seed: int, active_o, forward: bool):
+@jax.jit
+def _trim_fixpoint(graph: VGLGraph, labels_o: jax.Array, real: jax.Array):
+    """Trim to fixpoint inside ONE device program (r5: the host-looped trim
+    paid a ~28 ms dispatch + sync per round — scc.hpp's loop is tight)."""
+    def cond(state):
+        labels, ntrim = state
+        return ntrim > 0
+
+    def body(state):
+        labels, _ = state
+        return _trim_step(graph, labels, real)
+
+    labels, _ = jax.lax.while_loop(cond, body, (labels_o, jnp.int32(1)))
+    return labels
+
+
+@jax.jit
+def _fb_pivot_round(graph: VGLGraph, labels_o: jax.Array, real: jax.Array):
+    """ONE pivot round as ONE device program (r5, VERDICT r4 #8): pick the
+    first unlabeled vertex, flood forward and backward to fixpoint
+    (while_loops), carve the SCC, re-trim the remainder. The previous
+    host-looped form paid ~28 ms of tunnel dispatch PER FLOOD HOP and per
+    trim round; this pays ~one dispatch per pivot. Returns (labels,
+    remaining_active)."""
+    v = graph.v
     v_pad = graph.v_pad
-    reach = jnp.zeros(v_pad, bool).at[seed].set(True)
-    size = 1
-    while True:
-        reach2 = _reach_step(graph, reach, active_o, forward)
-        s2 = int(jnp.sum(reach2))
-        if s2 == size:
-            return reach2
-        reach, size = reach2, s2
+    ids = jnp.arange(v_pad, dtype=jnp.int32)
+    active = (labels_o == -1) & real
+    has = jnp.any(active)
+    seed = jnp.argmax(active.astype(jnp.int32)).astype(jnp.int32)
+
+    def flood(forward: bool):
+        reach0 = (ids == seed) & has
+
+        def cond(state):
+            reach, grew = state
+            return grew
+
+        def body(state):
+            reach, _ = state
+            reach2 = _reach_step(graph, reach, active, forward)
+            return reach2, jnp.any(reach2 != reach)
+
+        reach, _ = jax.lax.while_loop(cond, body, (reach0, has))
+        return reach
+
+    fwd = flood(True)
+    bwd = flood(False)
+    scc = (fwd & bwd & active) | ((ids == seed) & has)
+    labels = jnp.where(scc, seed, labels_o)
+    labels = _trim_fixpoint(graph, labels, real)
+    return labels, jnp.sum((labels == -1) & real, dtype=jnp.int32)
 
 
 def vgl_forward_backward(graph: VGLGraph, max_pivots: int = 1_000_000
@@ -90,28 +132,15 @@ def vgl_forward_backward(graph: VGLGraph, max_pivots: int = 1_000_000
     real = ids < v
     labels = jnp.where(real, jnp.int32(-1), jnp.int32(v))
 
-    # trim to fixpoint (reference scc.hpp trim loop)
-    while True:
-        labels, ntrim = _trim_step(graph, labels, real)
-        if int(ntrim) == 0:
-            break
+    # trim to fixpoint (reference scc.hpp trim loop) — one dispatch
+    labels = _trim_fixpoint(graph, labels, real)
 
     pivots = 0
     while pivots < max_pivots:
-        seed = int(jnp.argmax(((labels == -1) & real).astype(jnp.int32)))
-        if not bool(labels[seed] == -1):
-            break
-        active = (labels == -1) & real
-        fwd = _flood(graph, seed, active, forward=True)
-        bwd = _flood(graph, seed, active, forward=False)
-        scc = (fwd & bwd & active) | (ids == seed)
-        labels = jnp.where(scc, jnp.int32(seed), labels)
+        labels, remaining = _fb_pivot_round(graph, labels, real)
         pivots += 1
-        # re-trim the remainder: removing an SCC creates new zero-degree vertices
-        while True:
-            labels, ntrim = _trim_step(graph, labels, real)
-            if int(ntrim) == 0:
-                break
+        if int(remaining) == 0:
+            break
     return VertexArray(values=labels, direction=O)
 
 

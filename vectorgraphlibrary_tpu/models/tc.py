@@ -165,22 +165,39 @@ def vgl_triangle_count(ec: EdgesContainer, block_bits: Optional[int] = None,
     block_bits = max(32, block_bits)
     words = block_bits // 32
 
-    e_pad = -(-e_plus // edge_chunk) * edge_chunk
-    u_pad = np.full(e_pad, v, np.int32)      # dummy zero row
-    v_pad_arr = np.full(e_pad, v, np.int32)
-    u_pad[:e_plus] = u_e
-    v_pad_arr[:e_plus] = v_e
-    u_dev = jnp.asarray(u_pad)
-    v_dev = jnp.asarray(v_pad_arr)
+    def ladder_pad(a, fill, unit):
+        """Pad to the next power-of-two multiple of `unit` — bounds the
+        number of distinct jit shapes to ~log2(e) across all blocks."""
+        n = max(len(a), unit)
+        tgt = unit
+        while tgt < n:
+            tgt *= 2
+        out = np.full(tgt, fill, a.dtype)
+        out[:len(a)] = a
+        return out
 
+    # presence filter (r5, VERDICT r4 #6 — the design docs/tpu_random_access.md
+    # analyzed): popcount(bits[u] & bits[v]) is zero unless BOTH rows have a
+    # neighbor inside the block, so per block only edges whose endpoints both
+    # touch the block pay the ~65 ns/row gather wall. On degree-oriented RMAT
+    # each N+ row spans few blocks, so this drops the gathered-row count
+    # ~|blocks|-fold versus gathering every edge for every block.
     total = 0
     for c0 in range(0, v, block_bits):
         m = (v_e >= c0) & (v_e < c0 + block_bits)
-        ub = jnp.asarray(u_e[m])
-        vb = jnp.asarray(v_e[m] - c0)
+        if not m.any():
+            continue
+        pres = np.zeros(v + 1, bool)
+        pres[u_e[m]] = True
+        em = pres[u_e] & pres[v_e]
+        if not em.any():
+            continue
+        ub = jnp.asarray(ladder_pad(u_e[m], v, 1024))
+        vb = jnp.asarray(ladder_pad(v_e[m] - c0, block_bits, 1024))
         bits = _tc_build_bits(ub, vb, v, words, v)
-        chunk_sums = np.asarray(_tc_block_count(bits, u_dev, v_dev,
-                                                edge_chunk))
+        u_f = jnp.asarray(ladder_pad(u_e[em], v, edge_chunk))
+        v_f = jnp.asarray(ladder_pad(v_e[em], v, edge_chunk))
+        chunk_sums = np.asarray(_tc_block_count(bits, u_f, v_f, edge_chunk))
         total += sum(int(x) for x in chunk_sums)   # host int: no 2^31 wrap
     return total
 

@@ -478,7 +478,8 @@ def advance_pull_value(graph: VGLGraph,
                        src_active: Optional[jax.Array] = None,
                        direction: TraversalDirection = TraversalDirection.GATHER,
                        out_dtype=None,
-                       src_in_src_order: bool = False) -> jax.Array:
+                       src_in_src_order: bool = False,
+                       return_slots: bool = False) -> jax.Array:
     """Restricted-form fast advance — the speed-of-light path for the hot
     algorithms. Per-edge message = ``weight_op(src_value, edge_value)`` (or the
     raw src value), masked to the combine identity on non-edge slots and,
@@ -498,7 +499,14 @@ def advance_pull_value(graph: VGLGraph,
     input's vertex route. Lets ping-pong algorithms (HITS auth/hub) keep state
     in the orderings each phase produces/consumes and pay ZERO per-iteration
     reorders (the reference pays change_traversal_direction each phase,
-    hits.hpp:5-176)."""
+    hits.hpp:5-176).
+
+    return_slots=True (fused-route path only): skip the per-row reduction and
+    return the PRE-MASKED routed slot values flat [plan.n] in destination
+    tile-slot order (huge chunks row-major, then each bucket row-major; non-
+    edge slots hold the combine identity). This is the no-reduce advance —
+    neighborhood computations that are not monoids (label-propagation's mode)
+    read their messages at route speed instead of via element gathers."""
     from .route import apply_route, routed_backend
     from .pallas import route_fused
     mon = M.get(combine)
@@ -519,6 +527,7 @@ def advance_pull_value(graph: VGLGraph,
             or weight_op == "mul", (mon.name, weight_op)
 
     if not fused_ok:
+        assert not return_slots, "return_slots requires the fused route path"
         if src_in_src_order:
             # the generic paths expect direction-ordered inputs: convert back
             # (costs the route this flag elides — correctness-only fallback)
@@ -589,6 +598,8 @@ def advance_pull_value(graph: VGLGraph,
                                     weight_op=weight_op)
     routed = route_fused.apply_route_fused(plan, msgs, inverse=inverse,
                                            finish=finish, weights=weights)
+    if return_slots:
+        return routed
     out = _reduce_dst_tiles(dst_dg, routed, mon, dtype, graph.v_pad,
                             jnp.asarray(ident, dtype))
     if is_bool:

@@ -72,8 +72,18 @@ def group_reduce_flat(msg2d: jax.Array, width: int, mon, rows: int) -> jax.Array
         red = hi.astype(jnp.int64 if msg2d.dtype.itemsize > 4 else jnp.int32
                         ) * 65536 + lo.astype(jnp.int32)
         return red.reshape(-1)[:rows].astype(msg2d.dtype)
-    red = mon.reduce_axis(msg2d.reshape(m, 128 // width, width), 2)
-    return red.reshape(-1)[:rows]
+    # min/max/or-words: pair-halving strided lane tree. NEVER reshape to
+    # [m, groups, width] — XLA materializes that 3-D shape with the minor
+    # `width` dim padded to a full (8,128) tile, a 128/width x memory blowup
+    # (34 GB for a 1 GB slot array at scale 24) that made every min-class
+    # pull 2.5x an add-pull (r5 exp_cc24d). Halving pairs via strided lane
+    # slices keeps every intermediate 2-D and touches ~log2(w) padded passes.
+    x = msg2d
+    w = width
+    while w > 1:
+        x = mon.combine(x[:, ::2], x[:, 1::2])
+        w //= 2
+    return x.reshape(-1)[:rows]
 
 
 def broadcast_rows_flat(x_slice: jax.Array, width: int, m: int) -> jax.Array:
