@@ -136,7 +136,12 @@ def main():
         float(jnp.sum(jnp.where(lv32[r] > 0, outdeg_o, 0.0)))
         for r in range(32))
     del lv32
-    emit(f"bfs_do_rmat{SCALE}_gteps", edges_traversed / dt / 1e9, "GTEPS",
+    # r5 rename (ADVICE r4): this is multi-source aggregate TEPS, not the
+    # per-root DO protocol — keyed bfs_msbfs_* like bench.py's scale-20 row.
+    # 32 roots (not 64): the [32, 2^24] level matrix + seen/frontier words
+    # already ride next to the ~13 GB resident graph; a 64-root batch's
+    # extra int32 word state OOMed HBM here in r4.
+    emit(f"bfs_msbfs_rmat{SCALE}_gteps", edges_traversed / dt / 1e9, "GTEPS",
          roots=32, protocol="bit-parallel multi-source (MS-BFS), one or-pull "
          "scan per level serves all 32 roots",
          edges_traversed=int(edges_traversed))

@@ -9,7 +9,9 @@ from vectorgraphlibrary_tpu.utils import verify
 
 
 def run_round(ec, graph, weights, source, cfg):
-    colors, _ = coloring.vgl_coloring(graph)
+    # ec enables the r5 core-extraction pass (host first-fit on the dense
+    # core, device JP on the shallow remainder — models/coloring.py)
+    colors, _ = coloring.vgl_coloring(graph, ec=ec)
     return colors.values
 
 

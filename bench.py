@@ -335,12 +335,13 @@ def main():
     # un-gated. VGL_BENCH_NO_COLORING=1 skips it if ever needed.
     if not os.environ.get("VGL_BENCH_NO_COLORING"):
         from vectorgraphlibrary_tpu.models import coloring as col
-        _, col_rounds = col.vgl_coloring(graph)        # warmup + rounds
-        dt = _bench(lambda: col.vgl_coloring(graph)[0].values)
+        _, col_rounds = col.vgl_coloring(graph, ec=ec)  # warmup + rounds
+        dt = _bench(lambda: col.vgl_coloring(graph, ec=ec)[0].values)
         emit(f"coloring_rmat{scale}_mteps", ec.edges_count / dt / 1e6,
              "MTEPS", scale=scale, avg_degree=degree, rounds=col_rounds,
-             note="Jones-Plassmann + speculative assignment; rounds are "
-             "bounded below by the RMAT core's clique number")
+             note="r5 core extraction: host first-fit on the dense core + "
+             "device JP/speculative rounds on the shallow remainder "
+             "(wall includes the host pass)")
 
     dt = _bench(lambda: pr.vgl_page_rank(graph, max_iterations=iters,
                                          use_convergence=False)[0].values)

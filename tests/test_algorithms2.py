@@ -114,3 +114,19 @@ def test_random_walk_paths(setup):
     for p in paths:
         for a, b in zip(p[:-1], p[1:]):
             assert (int(a), int(b)) in edges or (outdeg[a] == 0 and a == b)
+
+
+def test_coloring_core_extraction(setup):
+    """r5 core path: host-colored dense core + device periphery rounds must
+    stay valid and use FEWER rounds than the pure-JP path."""
+    ec, g, ea = setup
+    c_plain, r_plain = coloring.vgl_coloring(g)
+    c_core, r_core = coloring.vgl_coloring(g, ec=ec, core_threshold=16)
+    got = np.asarray(c_core.values)[:g.v]
+    assert verify.verify_colors(ec, got) == 0
+    assert got.min() >= 0
+    assert r_core <= r_plain
+    init = coloring.host_core_colors(ec, 16)
+    core = init >= 0
+    assert core.any()                      # threshold actually bites
+    np.testing.assert_array_equal(got[core], init[core])   # core kept fixed

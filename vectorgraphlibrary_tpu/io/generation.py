@@ -62,3 +62,61 @@ def generate(kind: str, scale: int, avg_degree: int, seed: int = 42,
     if kind in ("ru", "random_uniform"):
         return random_uniform(scale, avg_degree, seed, weighted=weighted)
     raise ValueError(f"unknown synthetic graph type {kind!r}")
+
+
+def rmat_fast(scale: int, avg_degree: int, seed: int = 42,
+              a: float = RMAT_A, b: float = RMAT_B, c: float = RMAT_C,
+              weighted: bool = True, chunk: int = 1 << 27,
+              workers: int = 2) -> EdgesContainer:
+    """Billion-edge R-MAT: same recursive-quadrant model as `rmat` but
+    engineered for the 2-core/125-GB host that builds the scale-25 tier
+    (r5): float32 uniform draws (half the RNG traffic), int32 src/dst
+    arithmetic from the start (valid for scale ≤ 30), chunked edge ranges to
+    bound peak RAM, and a fork pool so both host cores generate. Streams are
+    per-(chunk, worker) `SeedSequence` spawns — deterministic for a given
+    (seed, chunk, workers) but a DIFFERENT graph than `rmat(seed)`."""
+    import multiprocessing as mp
+    v = 1 << scale
+    e = v * avg_degree
+    n_chunks = -(-e // chunk)
+    ab, abc = a + b, a + b + c
+
+    global _RMAT_FAST_ARGS
+    _RMAT_FAST_ARGS = (scale, chunk, e, seed, a, ab, abc)
+
+    ctx = mp.get_context("fork")
+    with ctx.Pool(workers) as pool:
+        parts = pool.map(_rmat_fast_chunk, range(n_chunks), chunksize=1)
+    src = np.concatenate([p[0] for p in parts])
+    dst = np.concatenate([p[1] for p in parts])
+    del parts
+    ec = EdgesContainer(src, dst, v)
+    if weighted:
+        rng = np.random.default_rng(seed + 1)
+        w = np.empty(e, np.float32)
+        for lo in range(0, e, chunk):
+            hi = min(lo + chunk, e)
+            w[lo:hi] = rng.uniform(1.0, 100.0, hi - lo).astype(np.float32)
+        ec = EdgesContainer(src, dst, v, w)
+    return ec
+
+
+_RMAT_FAST_ARGS = None
+
+
+def _rmat_fast_chunk(ci: int):
+    scale, chunk, e, seed, a, ab, abc = _RMAT_FAST_ARGS
+    lo = ci * chunk
+    n = min(chunk, e - lo)
+    rng = np.random.default_rng(np.random.SeedSequence([seed, ci]))
+    src = np.zeros(n, dtype=np.int32)
+    dst = np.zeros(n, dtype=np.int32)
+    for _ in range(scale):
+        u = rng.random(n, dtype=np.float32)
+        src_bit = (u >= ab).astype(np.int32)
+        dst_bit = ((u >= a) & (u < ab) | (u >= abc)).astype(np.int32)
+        np.left_shift(src, 1, out=src)
+        np.left_shift(dst, 1, out=dst)
+        np.bitwise_or(src, src_bit, out=src)
+        np.bitwise_or(dst, dst_bit, out=dst)
+    return src, dst

@@ -48,15 +48,19 @@ def _hash32(x):
     return x ^ (x >> 16)
 
 
-@functools.partial(jax.jit, static_argnums=(2, 3))
-def _coloring_run(graph: VGLGraph, prio: jax.Array, words: int,
-                  max_rounds: int):
+@functools.partial(jax.jit, static_argnums=(3, 4))
+def _coloring_run(graph: VGLGraph, prio: jax.Array, colors_init: jax.Array,
+                  words: int, max_rounds: int):
     """prio must be a random permutation: Jones-Plassmann with degree-correlated
-    priorities serializes into O(V)-long coloring chains on power-law graphs."""
+    priorities serializes into O(V)-long coloring chains on power-law graphs.
+    colors_init: per-vertex pre-assigned colors in ORIGINAL space (UNCOLORED
+    where the device rounds must pick) — the core-extraction path (r5) feeds
+    the host-colored dense core here; banned_word sees any pre-assigned color
+    regardless of which window it falls in, so validity is unconditional."""
     v, v_pad = graph.v, graph.v_pad
     ids = jnp.arange(v_pad, dtype=jnp.int32)
     real = ids < v
-    colors0 = jnp.where(real, UNCOLORED, jnp.int32(0))
+    colors0 = jnp.where(real, colors_init, jnp.int32(0))
     win = words * 32
 
     def banned_word(colors, base, w):
@@ -158,14 +162,69 @@ def _coloring_run(graph: VGLGraph, prio: jax.Array, words: int,
     return colors, rounds, remaining
 
 
+def host_core_colors(ec, threshold: int) -> np.ndarray:
+    """First-fit colors for the dense core (undirected degree > threshold) on
+    the HOST — the r5 core-extraction pass (VERDICT r4 #7). The RMAT core is
+    near-clique: under the windowed JP rounds its vertices saturate every
+    64-color window and serialize to ~one Jones-Plassmann winner per round
+    (613 rounds at scale 18). First-fit over the induced core subgraph in
+    descending-degree order costs milliseconds-to-seconds on host and removes
+    the chi-bound round count entirely; the shallow remainder then JP-colors
+    against these fixed colors in a handful of rounds. Returns int32 [v] with
+    -1 on non-core vertices."""
+    v = ec.vertices_count
+    deg = (np.bincount(ec.src_ids, minlength=v)
+           + np.bincount(ec.dst_ids, minlength=v))
+    core = deg > threshold
+    out = np.full(v, -1, np.int32)
+    k = int(core.sum())
+    if k == 0:
+        return out
+    core_ids = np.flatnonzero(core)
+    remap = np.full(v, -1, np.int64)
+    remap[core_ids] = np.arange(k)
+    m = core[ec.src_ids] & core[ec.dst_ids]
+    s = remap[ec.src_ids[m]]
+    d = remap[ec.dst_ids[m]]
+    nl = s != d
+    key = np.unique(np.concatenate([s[nl] * k + d[nl], d[nl] * k + s[nl]]))
+    s2, d2 = key // k, key % k                    # deduped undirected arcs
+    order = np.argsort(-deg[core_ids], kind="stable")   # desc degree
+    counts = np.bincount(s2, minlength=k)
+    indptr = np.concatenate([[0], np.cumsum(counts)])
+    colors = np.full(k, -1, np.int64)
+    for u in order:
+        nb = colors[d2[indptr[u]:indptr[u + 1]]]
+        nb = set(nb[nb >= 0].tolist())
+        c = 0
+        while c in nb:
+            c += 1
+        colors[u] = c
+    out[core_ids] = colors
+    return out
+
+
 def vgl_coloring(graph: VGLGraph, max_colors: int = 64,
-                 max_rounds: int = 100_000, seed: int = 0
+                 max_rounds: int = 100_000, seed: int = 0,
+                 ec=None, core_threshold: int = 256
                  ) -> tuple[VertexArray, int]:
+    """ec (optional): the host COO container. When given, the dense core
+    (und. degree > core_threshold) is first-fit colored on host and the
+    device JP rounds color only the shallow periphery against it — orders of
+    magnitude fewer rounds on power-law graphs (see host_core_colors)."""
     import numpy as np
     rng = np.random.default_rng(seed)
     prio = jnp.asarray(rng.permutation(graph.v_pad).astype(np.int32))
     words = max(1, (max_colors + 31) // 32)
-    colors, rounds, remaining = _coloring_run(graph, prio, words, max_rounds)
+    if ec is not None:
+        init = host_core_colors(ec, core_threshold)
+        init_pad = np.full(graph.v_pad, -1, np.int32)
+        init_pad[:graph.v] = init
+        colors_init = jnp.asarray(init_pad)
+    else:
+        colors_init = jnp.full(graph.v_pad, UNCOLORED, jnp.int32)
+    colors, rounds, remaining = _coloring_run(graph, prio, colors_init,
+                                              words, max_rounds)
     assert int(remaining) == 0, (
         f"{int(remaining)} vertices uncolored after {int(rounds)} rounds — "
         "raise max_rounds")
