@@ -323,9 +323,17 @@ def main():
     t0 = time.perf_counter()
     tris = tc.vgl_triangle_count(ec, _oriented=(u_e, v_e))
     dev_s = time.perf_counter() - t0
-    emit(f"tc_rmat{scale}_mteps", ec.edges_count / (host_s + dev_s) / 1e6,
+    # r5 rename (VERDICT r4 #6 "reconcile the 0.3-vs-5.12 rows"): those two
+    # numbers were DIFFERENT algorithms sharing a key — this row is TRIANGLE
+    # COUNTING (host orientation + presence-filtered device blocks, both
+    # counted), while apps/tc.py (the harness "tc" rows) benches the
+    # reference's tc = Purdom TRANSITIVE CLOSURE (tc.hpp:5-60). Distinct keys
+    # end the apples-to-oranges comparison.
+    emit(f"triangles_rmat{scale}_mteps",
+         ec.edges_count / (host_s + dev_s) / 1e6,
          "MTEPS", scale=scale, avg_degree=degree, triangles=tris,
-         host_orientation_s=round(host_s, 2), device_s=round(dev_s, 2))
+         host_orientation_s=round(host_s, 2), device_s=round(dev_s, 2),
+         accounting="host orientation + device, both in the denominator")
 
     graph = import_graph(ec)
 
