@@ -218,10 +218,16 @@ def main():
         gbps = s.bytes_requested / max(s.wall_s, 1e-12) / 1e9
         slug = (pname.replace(" ", "_").replace("(", "").replace(")", "")
                 .replace("+", ""))
-        emit(f"prim_{slug}_gbs", gbps, "GB/s",
-             roofline_pct=round(100 * gbps / st.hbm_roofline_gbps, 1),
-             measured_peak_pct=round(100 * gbps / max(peak_adj_gbs, 1e-9), 1),
-             ms=round(s.wall_s * 1e3 / max(s.calls, 1), 3))
+        rec = dict(
+            roofline_pct=round(100 * gbps / st.hbm_roofline_gbps, 1),
+            measured_peak_pct=round(100 * gbps / max(peak_adj_gbs, 1e-9), 1),
+            ms=round(s.wall_s * 1e3 / max(s.calls, 1), 3))
+        if rec["measured_peak_pct"] > 100:
+            rec["note"] = ("exceeds the stream-probe peak: the fori-loop "
+                           "copy probe under-measures this chip under tunnel "
+                           "variance — judge against roofline_pct (819 GB/s "
+                           "spec), the stable denominator")
+        emit(f"prim_{slug}_gbs", gbps, "GB/s", **rec)
     del g20, ea20, ec20
 
     # ---------------- real graphs (bundled corpus) ------------------------
@@ -320,6 +326,10 @@ def main():
     t0 = time.perf_counter()
     u_e, v_e = tc._oriented_simple_edges(ec)
     host_s = time.perf_counter() - t0
+    # warmup: the presence-filtered blocks jit ~a dozen ladder shapes
+    # (~tens of seconds of compiles) — every other row excludes compiles,
+    # so this one must too
+    tc.vgl_triangle_count(ec, _oriented=(u_e, v_e))
     t0 = time.perf_counter()
     tris = tc.vgl_triangle_count(ec, _oriented=(u_e, v_e))
     dev_s = time.perf_counter() - t0
