@@ -353,13 +353,19 @@ def main():
     # un-gated. VGL_BENCH_NO_COLORING=1 skips it if ever needed.
     if not os.environ.get("VGL_BENCH_NO_COLORING"):
         from vectorgraphlibrary_tpu.models import coloring as col
-        _, col_rounds = col.vgl_coloring(graph, ec=ec)  # warmup + rounds
-        dt = _bench(lambda: col.vgl_coloring(graph, ec=ec)[0].values)
-        emit(f"coloring_rmat{scale}_mteps", ec.edges_count / dt / 1e6,
+        t0 = time.perf_counter()
+        core = col.host_core_colors(ec, 256)     # once, like TC's _oriented
+        core_s = time.perf_counter() - t0
+        _, col_rounds = col.vgl_coloring(graph, core_colors=core)  # warmup
+        dt = _bench(lambda: col.vgl_coloring(graph, core_colors=core)
+                    [0].values)
+        emit(f"coloring_rmat{scale}_mteps",
+             ec.edges_count / (core_s + dt) / 1e6,
              "MTEPS", scale=scale, avg_degree=degree, rounds=col_rounds,
+             host_core_s=round(core_s, 2), device_s=round(dt, 2),
              note="r5 core extraction: host first-fit on the dense core + "
              "device JP/speculative rounds on the shallow remainder "
-             "(wall includes the host pass)")
+             "(host pass counted once, like TC's orientation)")
 
     dt = _bench(lambda: pr.vgl_page_rank(graph, max_iterations=iters,
                                          use_convergence=False)[0].values)
