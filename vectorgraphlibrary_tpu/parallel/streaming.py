@@ -79,6 +79,14 @@ def _put(shard):
     return jax.device_put(shard)
 
 
+def _free(tree):
+    """Explicitly delete device buffers NOW (GC is too lazy for 4.4 GB
+    shards; the tunnel client's host staging lives as long as the buffer)."""
+    for leaf in jax.tree.leaves(tree):
+        if hasattr(leaf, "delete"):
+            leaf.delete()
+
+
 # ---------------------------------------------------------------------------
 # per-shard jitted steps (compiled ONCE: all shards share static shapes)
 # ---------------------------------------------------------------------------
@@ -116,12 +124,16 @@ def _acc_sssp(g, acc, dist_o, w_slots, active_o):
 
 
 def _sweep(ssg, step, acc, *args):
-    """Stream every shard through one jitted step, sequentially. HBM peak is
-    the incoming shard + the one being freed (~2 shards)."""
+    """Stream every shard through one jitted step, sequentially. The
+    per-shard block_until_ready is BACKPRESSURE, not pedantry: without it
+    Python races ahead queueing every shard's H2D transfer, whose host-side
+    staging coexists (~35 GB/sweep) and OOM-killed the first scale-25 bench
+    at 130 GB RSS. HBM peak is one shard + the one being freed."""
     for s in range(ssg.n_shards):
         g = _put(ssg.shards[s])
         acc = step(g, acc, *args)
-        del g
+        jax.block_until_ready(acc)
+        _free(g)
     return acc
 
 
@@ -267,7 +279,8 @@ def _sweep_und(ssg, x_o, combine):
     for s in range(ssg.n_shards):
         g = _put(ssg.shards[s])
         acc_a, acc_b = _acc_pull_und(g, acc_a, acc_b, x_o, combine)
-        del g
+        jax.block_until_ready((acc_a, acc_b))
+        _free(g)
     return acc_a, acc_b
 
 
@@ -307,7 +320,9 @@ def sssp_streamed(ssg: StreamedShardedGraph, source: int,
             g = _put(ssg.shards[s])
             w = jax.device_put(np.asarray(ssg.slot_weights[s]))
             acc = _acc_sssp(g, acc, dist, w, active)
-            del g, w
+            jax.block_until_ready(acc)
+            _free(g)
+            w.delete()
         new = jnp.minimum(dist, jnp.where(real, acc, jnp.inf))
         changed = new < dist
         iters = it + 1
