@@ -18,7 +18,11 @@ Usage:
                                   # it prints done=True, then emits row
   bench_s25_part.py sssp_sweep    # one stored-weight all-active relaxation
                                   # sweep; emits an explicit per-sweep row
-Rows append to BENCH_SCALE25.json.
+  bench_s25_part.py sssp_conv     # stored-weight Bellman-Ford to FIXPOINT
+                                  # (for scales whose sweep-bytes x
+                                  # expected-iters fit the retention budget,
+                                  # e.g. scale 22/32: ~4.4 GB x ~15)
+Rows append to BENCH_SCALE{SCALE}.json.
 """
 from __future__ import annotations
 
@@ -68,7 +72,8 @@ def main():
 
     t0 = time.time()
     log(f"loading {PREFIX} ...")
-    ssg = streaming.load_streamed(PREFIX, weights=(algo == "sssp_sweep"))
+    ssg = streaming.load_streamed(
+        PREFIX, weights=algo in ("sssp_sweep", "sssp_conv"))
     e, v, v_pad = ssg.e, ssg.v, ssg.v_pad
     log(f"loaded {ssg.n_shards} shards |E|={e:,} ({time.time()-t0:.0f}s)")
     z = np.load(f"{PREFIX}.prconsts.npz")
@@ -142,8 +147,12 @@ def main():
         frontier = jax.device_put(front_h)
         lv = lv0
         done = done0
+        # sweeps/process budget: 125 GB host RAM / per-sweep transfer bytes
+        # (2 at scale 25 / ~35 GB; scale 22/32 streams ~4.4 GB so a whole
+        # run fits one process)
+        budget = int(os.environ.get("VGL_S25_SWEEPS", "2"))
         t0 = time.perf_counter()
-        for _ in range(2):                      # leak budget: 2 sweeps/proc
+        for _ in range(budget):
             if done:
                 break
             reached = streaming._sweep(
@@ -177,6 +186,45 @@ def main():
                       "processes (2 levels each) — " + LEAK_NOTE))
         else:
             log(f"not done after level {lv}; rerun this command")
+    elif algo == "cc":
+        # Streamed flood-hybrid CC to fixpoint (flood + hook sweeps are each
+        # a full-graph stream; only run where total sweeps x sweep-bytes fit
+        # the retention budget — scale 22/32: ~12 x 4.4 GB).
+        # max out-degree vertex as flood hub (rev stores 1/outdeg)
+        hub = int(np.argmax(np.where(rev > 0, 1.0 / np.maximum(rev, 1e-12),
+                                     0.0)))
+        t0 = time.perf_counter()
+        labels, flood_lv, hooks = streaming.cc_hybrid_streamed(
+            ssg, hub, progress=log)
+        dt = time.perf_counter() - t0
+        n_comp = int(np.unique(np.asarray(labels[:v])).size)
+        emit(dict(metric=f"cc_rmat{SCALE}_mteps",
+                  value=round(e / dt / 1e6, 2), flood_levels=flood_lv,
+                  hook_iters=hooks, components=n_comp,
+                  note="flood-hybrid CC to fixpoint, host-streamed; MTEPS = "
+                  "|E|/wall (transfers included)", **base))
+    elif algo == "sssp_conv":
+        # Converged stored-weight Bellman-Ford (graph500-style whole-run
+        # wall). Only sane when n_iters * sweep_bytes fits the retention
+        # budget — at scale 22/32 a sweep streams ~4.4 GB, so ~25 sweeps
+        # stay under the 125 GB host cap in ONE process.
+        src = int(np.argmax(np.where(rev > 0, 1.0 / np.maximum(rev, 1e-12),
+                                     0.0)))
+        t0 = time.perf_counter()
+        dist, iters = streaming.sssp_streamed(ssg, src, progress=log)
+        dt = time.perf_counter() - t0
+        reached = int(jnp.sum(jnp.isfinite(dist[:v])))
+        emit(dict(metric=f"sssp_rmat{SCALE}_mteps",
+                  value=round(e / dt / 1e6, 2), source=src, iters=iters,
+                  reached=reached, sec_per_iter=round(dt / iters, 1),
+                  weights="REAL stored per-edge f32, route-slot order, "
+                  "round-tripped from disk (VERDICT r4 #2); stored-weight "
+                  "SSSP == seq_dijkstra oracle-pinned at small scale "
+                  "(tests/test_scale_build.py)",
+                  note="all-active Bellman-Ford to FIXPOINT over stored "
+                  "weights, host-streamed; MTEPS = |E|/wall (graph500 "
+                  "accounting, transfers included)",
+                  **base))
     elif algo == "sssp_sweep":
         src = int(np.argmax(np.where(rev > 0, 1.0 / np.maximum(rev, 1e-12),
                                      0.0)))
